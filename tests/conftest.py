@@ -8,10 +8,18 @@ is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Forced (not setdefault): the surrounding environment pins JAX_PLATFORMS to
+# the TPU plugin (and a sitecustomize pre-imports jax internals), which would
+# route every test compile through the TPU tunnel.  Belt and braces: set the
+# env var AND update the config after import.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
