@@ -1,0 +1,198 @@
+"""Fused multi-field scoring ops -- the compute heart of the framework.
+
+The reference scores queries against documents in three separate stages on
+CPU/GPU (per-field brute-force matmuls + python-loop reranking, reference:
+mfar/data/index.py:181-232, mfar/modeling/contrastive.py:669-704).  The
+TPU-native design collapses all of it into MXU-shaped programs:
+
+*The folding trick.*  mFAR's score is a query-conditioned softmax mixture of
+per-field dot products:
+
+    T[b, n] = sum_f w[b, f] * (q[b, :] . D[n, f, :])
+
+Because the field weight multiplies the *query* side, it folds into a single
+flat matmul: build Q'[b, f*E:(f+1)*E] = w[b, f] * q[b, :], flatten the corpus
+to D'[n, F*E], and T = Q' @ D'^T.  One [B, F*E] x [F*E, N] contraction --
+fully MXU-saturating, no per-field loop, no [B, N, F] intermediate in HBM.
+Field masking (ablations, reference: mfar/modeling/contrastive.py:706-714)
+folds into w the same way (the reference zeroes *scores*, so the mask scales
+post-softmax weights, preserving semantics exactly).
+
+Top-k over the corpus runs as a lax.scan over corpus chunks with a running
+top-k carry -- the device-resident, fused equivalent of the reference's
+streaming memmap top-k (reference: mfar/data/index.py:194-212) -- or via the
+TPU-optimized ``lax.approx_max_k`` for the recall stage.
+
+Distributed versions (corpus sharded over the mesh ICI) live in
+:mod:`mfar_tpu.parallel.topk`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax_field_weights(
+    W: jax.Array,  # [E, F] (query-conditioned) or [1, F]/[F] (global)
+    q: Optional[jax.Array] = None,  # [B, E]
+    mask: Optional[jax.Array] = None,  # [F] 0/1 field ablation mask
+) -> jax.Array:  # [B, F] or [1, F]
+    """Query-conditioned softmax field weights (reference:
+    mfar/modeling/weighting.py:17-29).  The ablation mask multiplies
+    *after* the softmax: masked fields contribute zero score, but the
+    distribution over fields is unchanged -- matching the reference, which
+    masks scores rather than logits."""
+    if W.ndim == 1:
+        W = W[None, :]
+    if q is not None and W.shape[0] > 1:
+        logits = jnp.dot(q, W, preferred_element_type=jnp.float32)  # [B, F]
+    else:
+        logits = W[:1].astype(jnp.float32) if W.shape[0] == 1 else W.T.astype(jnp.float32)
+    weights = jax.nn.softmax(logits, axis=-1)
+    if mask is not None:
+        weights = weights * mask[None, :]
+    return weights
+
+
+def mix_scores(scores: jax.Array, weights: jax.Array) -> jax.Array:
+    """[..., F] per-field scores x [B-or-1, F] weights -> [...] mixture."""
+    return jnp.einsum("...f,...f->...", scores, jnp.broadcast_to(weights[:, None, :], scores.shape))
+
+
+def fold_queries(q: jax.Array, weights: jax.Array) -> jax.Array:
+    """Fold field weights into the query: [B, E] x [B, F] -> [B, F*E]."""
+    folded = weights[:, :, None].astype(q.dtype) * q[:, None, :]  # [B, F, E]
+    return folded.reshape(q.shape[0], -1)
+
+
+def fuse_and_mix(
+    q: jax.Array,  # [B, E]
+    docs_flat: jax.Array,  # [N, F*E]
+    W: jax.Array,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:  # [B, N]
+    """Full fused scoring: weights -> fold -> one matmul."""
+    weights = softmax_field_weights(W, q, mask)
+    weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+    qflat = fold_queries(q, weights)
+    return jnp.dot(qflat, docs_flat.T, preferred_element_type=jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk_size"))
+def dense_topk_chunked(
+    qflat: jax.Array,  # [B, F*E] folded queries
+    docs_flat: jax.Array,  # [N, F*E], N padded to a multiple of chunk_size
+    valid_n: jax.Array,  # scalar: number of real (non-padding) rows
+    k: int,
+    chunk_size: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:  # scores [B, k], indices [B, k]
+    """Exact top-k by streaming the corpus through the MXU in chunks.
+
+    lax.scan keeps a running [B, k] top-k carry; each step is one
+    [B, FE] x [FE, chunk] matmul + merge.  Peak HBM for scores is
+    O(B * (k + chunk)) regardless of corpus size.
+    """
+    n = docs_flat.shape[0]
+    b = qflat.shape[0]
+    if n <= chunk_size:
+        scores = jnp.dot(qflat, docs_flat.T, preferred_element_type=jnp.float32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        scores = jnp.where(idx < valid_n, scores, -jnp.inf)
+        kk = min(k, n)
+        top_s, top_i = jax.lax.top_k(scores, kk)
+        return _pad_topk(top_s, top_i, k)
+
+    assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
+    assert k <= chunk_size, "top-k carry must fit in one chunk"
+    num_chunks = n // chunk_size
+    docs3 = docs_flat.reshape(num_chunks, chunk_size, -1)
+    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
+
+    def chunk_topk(chunk_docs, offset):
+        s = jnp.dot(qflat, chunk_docs.T, preferred_element_type=jnp.float32)
+        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+        s = jnp.where(idx < valid_n, s, -jnp.inf)
+        top_s, sel = jax.lax.top_k(s, k)
+        return top_s, jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
+
+    def step(carry, inp):
+        top_s, top_i = carry
+        chunk_docs, offset = inp
+        s, i = chunk_topk(chunk_docs, offset)
+        cat_s = jnp.concatenate([top_s, s], axis=1)
+        cat_i = jnp.concatenate([top_i, i], axis=1)
+        new_s, sel = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
+        return (new_s, new_i), None
+
+    # The carry initializes from chunk 0 (not a -inf constant) so its
+    # varying-mesh-axes match the body output when running inside shard_map.
+    init = chunk_topk(docs3[0], offsets[0])
+    (top_s, top_i), _ = jax.lax.scan(step, init, (docs3[1:], offsets[1:]))
+    return top_s, top_i
+
+
+def _pad_topk(top_s, top_i, k):
+    have = top_s.shape[1]
+    if have == k:
+        return top_s, top_i
+    pad = k - have
+    top_s = jnp.pad(top_s, ((0, 0), (0, pad)), constant_values=-jnp.inf)
+    top_i = jnp.pad(top_i, ((0, 0), (0, pad)))
+    return top_s, top_i
+
+
+@partial(jax.jit, static_argnames=("k", "recall_target"))
+def dense_topk_approx(
+    qflat: jax.Array,
+    docs_flat: jax.Array,
+    valid_n: jax.Array,
+    k: int,
+    recall_target: float = 0.95,
+) -> Tuple[jax.Array, jax.Array]:
+    """Recall-stage top-k via the TPU PartialReduce op (lax.approx_max_k):
+    much faster than exact sort at large N, with a tunable recall target."""
+    scores = jnp.dot(qflat, docs_flat.T, preferred_element_type=jnp.float32)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, docs_flat.shape[0]), 1)
+    scores = jnp.where(idx < valid_n, scores, -jnp.inf)
+    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+
+
+def per_field_candidate_scores(
+    q: jax.Array,  # [B, E]
+    cand_docs: jax.Array,  # [B, C, F, E] gathered candidate embeddings
+) -> jax.Array:  # [B, C, F]
+    """Per-field dot products for the rerank stage (kept un-mixed so sparse
+    field scores can be concatenated and batchnorm/masking applied before
+    mixing, reference: mfar/modeling/contrastive.py:681-694)."""
+    return jnp.einsum("be,bcfe->bcf", q, cand_docs, preferred_element_type=jnp.float32)
+
+
+def rerank_candidates(
+    q: jax.Array,  # [B, E]
+    dense_scores: jax.Array,  # [B, C, Fd] per-dense-field candidate scores
+    sparse_scores: Optional[jax.Array],  # [B, C, Fs] host-streamed BM25 scores
+    W: jax.Array,
+    mask: Optional[jax.Array] = None,
+    cand_valid: Optional[jax.Array] = None,  # [B, C] bool for padded cands
+    k: int = 100,
+) -> Tuple[jax.Array, jax.Array]:
+    """Stage-2 rerank: concatenate dense+sparse field scores, mask, mix with
+    query-conditioned weights, top-k over the candidate pool."""
+    scores = dense_scores
+    if sparse_scores is not None:
+        scores = jnp.concatenate([dense_scores, sparse_scores.astype(dense_scores.dtype)], axis=-1)
+    if mask is not None:
+        scores = scores * mask[None, None, :]
+    weights = softmax_field_weights(W, q)
+    weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+    total = jnp.einsum("bcf,bf->bc", scores, weights)
+    if cand_valid is not None:
+        total = jnp.where(cand_valid, total, -jnp.inf)
+    kk = min(k, total.shape[1])
+    top_s, top_i = jax.lax.top_k(total, kk)
+    return top_s, top_i

@@ -1,0 +1,92 @@
+"""Distributed retrieval on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mfar_tpu.ops.scoring import fold_queries, softmax_field_weights
+from mfar_tpu.parallel.mesh import DATA_AXIS, make_mesh, pad_rows, shard_array
+from mfar_tpu.parallel.topk import (
+    distributed_candidate_scores,
+    distributed_dense_topk,
+)
+
+B, N, F, E = 3, 101, 2, 8
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() >= 8, "conftest must provide 8 virtual devices"
+    return make_mesh(n_data=8, n_model=1, devices=jax.devices()[:8])
+
+
+@pytest.fixture(scope="module")
+def data(mesh):
+    rng = np.random.default_rng(0)
+    q = rng.normal(size=(B, E)).astype(np.float32)
+    docs = rng.normal(size=(N, F, E)).astype(np.float32)
+    W = rng.normal(size=(E, F)).astype(np.float32)
+    docs_flat, valid_n = pad_rows(docs.reshape(N, F * E), 8 * 4)
+    docs_flat_sharded = shard_array(mesh, docs_flat, P(DATA_AXIS))
+    docs_pad, _ = pad_rows(docs, 8 * 4)
+    docs_sharded = shard_array(mesh, docs_pad, P(DATA_AXIS))
+    return q, docs, W, docs_flat_sharded, docs_sharded, valid_n
+
+
+def test_distributed_topk_matches_single_device(mesh, data):
+    q, docs, W, docs_flat_sharded, _, valid_n = data
+    weights = softmax_field_weights(jnp.asarray(W), jnp.asarray(q))
+    qflat = fold_queries(jnp.asarray(q), weights)
+
+    k = 7
+    top_s, top_i = distributed_dense_topk(
+        mesh, qflat, docs_flat_sharded, valid_n, k=k, chunk_size=8
+    )
+
+    per_field = np.einsum("be,nfe->bnf", q, docs)
+    w = np.asarray(weights)
+    full = np.einsum("bnf,bf->bn", per_field, w)
+    want_i = np.argsort(-full, axis=1)[:, :k]
+    want_s = np.take_along_axis(full, want_i, axis=1)
+
+    np.testing.assert_allclose(np.asarray(top_s), want_s, rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(top_i), want_i)
+
+
+def test_distributed_topk_excludes_padding(mesh, data):
+    q, docs, W, docs_flat_sharded, _, valid_n = data
+    weights = softmax_field_weights(jnp.asarray(W), jnp.asarray(q))
+    qflat = fold_queries(jnp.asarray(q), weights)
+    top_s, top_i = distributed_dense_topk(
+        mesh, qflat, docs_flat_sharded, valid_n, k=100, chunk_size=8
+    )
+    idx = np.asarray(top_i)
+    scores = np.asarray(top_s)
+    assert (idx[np.isfinite(scores)] < N).all()
+    assert np.isneginf(scores[:, N:]).all() or scores.shape[1] <= N
+
+
+def test_distributed_candidate_scores_matches_gather(mesh, data):
+    q, docs, _, _, docs_sharded, _ = data
+    rng = np.random.default_rng(5)
+    C = 9
+    cand = rng.integers(0, N, size=(B, C))
+    got = distributed_candidate_scores(
+        mesh, jnp.asarray(q), docs_sharded, jnp.asarray(cand, jnp.int32)
+    )
+    want = np.einsum("be,bcfe->bcf", q, docs[cand])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-5)
+
+
+def test_candidate_scores_cross_shard_ids(mesh, data):
+    """Candidates deliberately spread across every shard."""
+    q, docs, _, _, docs_sharded, _ = data
+    cand = np.stack([np.arange(0, 96, 12)] * B)  # one id per shard slice
+    got = distributed_candidate_scores(
+        mesh, jnp.asarray(q), docs_sharded, jnp.asarray(cand, jnp.int32)
+    )
+    want = np.einsum("be,bcfe->bcf", q, docs[cand])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-5)

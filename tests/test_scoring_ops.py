@@ -1,0 +1,141 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mfar_tpu.ops.scoring import (
+    dense_topk_chunked,
+    fold_queries,
+    fuse_and_mix,
+    per_field_candidate_scores,
+    rerank_candidates,
+    softmax_field_weights,
+)
+
+B, N, F, E = 4, 37, 3, 16
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, E)), jnp.float32)
+    docs = jnp.asarray(rng.normal(size=(N, F, E)), jnp.float32)
+    W = jnp.asarray(rng.normal(size=(E, F)), jnp.float32)
+    return q, docs, W
+
+
+def naive_scores(q, docs, W, mask=None):
+    """Straightforward reference computation: per-field dots, softmax mix."""
+    per_field = np.einsum("be,nfe->bnf", np.asarray(q), np.asarray(docs))
+    weights = np.exp(np.asarray(q) @ np.asarray(W))
+    weights = weights / weights.sum(-1, keepdims=True)
+    if mask is not None:
+        per_field = per_field * np.asarray(mask)[None, None, :]
+    return np.einsum("bnf,bf->bn", per_field, weights)
+
+
+def test_folded_matmul_equals_naive(data):
+    q, docs, W = data
+    got = fuse_and_mix(q, docs.reshape(N, F * E), W)
+    np.testing.assert_allclose(np.asarray(got), naive_scores(q, docs, W), rtol=2e-5, atol=1e-5)
+
+
+def test_mask_folds_into_weights(data):
+    q, docs, W = data
+    mask = jnp.asarray([1.0, 0.0, 1.0])
+    got = fuse_and_mix(q, docs.reshape(N, F * E), W, mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(got), naive_scores(q, docs, W, mask), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_global_weights_no_query_conditioning(data):
+    q, docs, W = data
+    Wg = jnp.asarray(np.random.default_rng(1).normal(size=(1, F)), jnp.float32)
+    got = fuse_and_mix(q, docs.reshape(N, F * E), Wg)
+    weights = np.exp(np.asarray(Wg))
+    weights = weights / weights.sum(-1, keepdims=True)
+    per_field = np.einsum("be,nfe->bnf", np.asarray(q), np.asarray(docs))
+    want = np.einsum("bnf,f->bn", per_field, weights[0])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-5)
+
+
+def test_chunked_topk_exact_vs_full_sort(data):
+    q, docs, W = data
+    weights = softmax_field_weights(W, q)
+    qflat = fold_queries(q, weights)
+    docs_flat = docs.reshape(N, F * E)
+    # pad to multiple of chunk 8
+    pad_n = 40
+    docs_pad = jnp.pad(docs_flat, ((0, pad_n - N), (0, 0)))
+    k = 5
+    top_s, top_i = dense_topk_chunked(qflat, docs_pad, jnp.int32(N), k=k, chunk_size=8)
+    full = naive_scores(q, docs, W)
+    want_i = np.argsort(-full, axis=1)[:, :k]
+    want_s = np.take_along_axis(full, want_i, axis=1)
+    np.testing.assert_allclose(np.asarray(top_s), want_s, rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(top_i), want_i)
+
+
+def test_chunked_topk_small_corpus_single_chunk(data):
+    q, docs, W = data
+    weights = softmax_field_weights(W, q)
+    qflat = fold_queries(q, weights)
+    top_s, top_i = dense_topk_chunked(
+        qflat, docs.reshape(N, F * E), jnp.int32(N), k=10, chunk_size=4096
+    )
+    assert top_s.shape == (B, 10)
+    assert (np.asarray(top_i) < N).all()
+
+
+def test_topk_k_larger_than_corpus(data):
+    q, docs, W = data
+    weights = softmax_field_weights(W, q)
+    qflat = fold_queries(q, weights)
+    top_s, top_i = dense_topk_chunked(
+        qflat, docs.reshape(N, F * E), jnp.int32(N), k=50, chunk_size=4096
+    )
+    assert top_s.shape == (B, 50)
+    # padding beyond N scores -inf
+    assert np.isneginf(np.asarray(top_s)[:, N:]).all()
+
+
+def test_per_field_candidate_scores(data):
+    q, docs, _ = data
+    cand_ids = np.array([[0, 5, 7], [1, 2, 3], [8, 8, 8], [N - 1, 0, 4]])
+    cand_docs = jnp.asarray(np.asarray(docs)[cand_ids])  # [B, C, F, E]
+    got = per_field_candidate_scores(q, cand_docs)
+    want = np.einsum("be,bcfe->bcf", np.asarray(q), np.asarray(cand_docs))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-5)
+
+
+def test_rerank_with_sparse_and_padding(data):
+    q, docs, W = data
+    rng = np.random.default_rng(3)
+    C, Fs = 6, 2
+    dense = jnp.asarray(rng.normal(size=(B, C, F)), jnp.float32)
+    sparse = jnp.asarray(rng.normal(size=(B, C, Fs)), jnp.float32)
+    Wfull = jnp.asarray(rng.normal(size=(E, F + Fs)), jnp.float32)
+    valid = jnp.asarray(np.tile([True] * 4 + [False] * 2, (B, 1)))
+    top_s, top_i = rerank_candidates(q, dense, sparse, Wfull, cand_valid=valid, k=4)
+    assert top_s.shape == (B, 4)
+    assert (np.asarray(top_i) < 4).all()  # padded candidates never chosen
+
+    # hand-check mixture for query 0
+    scores = np.concatenate([np.asarray(dense), np.asarray(sparse)], -1)
+    w = np.exp(np.asarray(q) @ np.asarray(Wfull))
+    w = w / w.sum(-1, keepdims=True)
+    total = np.einsum("bcf,bf->bc", scores, w)
+    total[~np.asarray(valid)] = -np.inf
+    want_i = np.argsort(-total[0])[:4]
+    np.testing.assert_array_equal(np.asarray(top_i)[0], want_i)
+
+
+def test_bf16_docs_fp32_accumulation(data):
+    q, docs, W = data
+    got16 = fuse_and_mix(q.astype(jnp.bfloat16), docs.reshape(N, F * E).astype(jnp.bfloat16), W)
+    assert got16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(got16), naive_scores(q, docs, W), rtol=0.05, atol=0.05
+    )
