@@ -1,0 +1,97 @@
+"""Corpus index construction: dense encoding pipeline + sparse BM25 builds.
+
+Replaces the reference's eval-time corpus (re)indexing -- per-rank encoding
+into a shared temp-dir memmap with a barrier (reference:
+mfar/modeling/contrastive.py:465-496, mfar/data/index.py:234-258) -- with a
+single-controller pipeline: per dense field, documents format + tokenize on
+host into fixed-size bucketed batches and stream through the jitted encoder
+in large MXU-saturating batches; the resulting ``[N, Fd, E]`` matrix is
+device_put sharded over the mesh data axis and stays HBM-resident.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfar_tpu.data.format import format_documents
+from mfar_tpu.data.types import Corpus, Field
+from mfar_tpu.data.schema import dense_keys, sparse_keys
+from mfar_tpu.sparse.bm25 import BM25Index
+
+
+def encode_texts(
+    encode_fn: Callable,  # (input_ids, attention_mask) -> [n, E]
+    tokenizer,
+    texts: Sequence[str],
+    max_length: int,
+    batch_size: int = 256,
+) -> np.ndarray:
+    """Batched encoder forward over texts.  Batches are padded to the full
+    ``batch_size`` and a single bucket width so every step reuses one
+    compiled program (no per-batch recompiles on TPU)."""
+    out: List[np.ndarray] = []
+    n = len(texts)
+    for start in range(0, n, batch_size):
+        chunk = list(texts[start : start + batch_size])
+        real = len(chunk)
+        if real < batch_size:
+            chunk += [""] * (batch_size - real)
+        toks = tokenizer.encode_batch(chunk, max_length, bucket=False)
+        embs = encode_fn(jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]))
+        out.append(np.asarray(embs)[:real])
+    if not out:
+        return np.zeros((0, 0), np.float32)
+    return np.concatenate(out, axis=0)
+
+
+def build_dense_corpus_matrix(
+    encode_fn: Callable,
+    tokenizer,
+    corpus: Corpus,
+    field_info: Dict[str, Field],
+    batch_size: int = 256,
+    prefix: bool = False,
+    dtype=np.float32,
+) -> np.ndarray:
+    """[N, Fd, E] per-field corpus embeddings (dense fields, schema order)."""
+    dkeys = dense_keys(field_info)
+    mats: List[np.ndarray] = []
+    pairs = list(corpus.pairs())
+    for fk in dkeys:
+        field = field_info[fk]
+        texts = [t for _, t in format_documents(pairs, field.name, field.dataset)]
+        if prefix:
+            texts = [field.name.replace("___", " ") + ": " + t for t in texts]
+        embs = encode_texts(encode_fn, tokenizer, texts, field.max_seq_length, batch_size)
+        mats.append(embs.astype(dtype))
+    if not mats:
+        return np.zeros((len(corpus), 0, 0), dtype)
+    return np.stack(mats, axis=1)
+
+
+def build_sparse_indices(
+    corpus: Corpus,
+    field_info: Dict[str, Field],
+) -> Dict[str, BM25Index]:
+    """Per-sparse-field BM25 indices (reference: mfar/modeling/util.py:102-106)."""
+    out: Dict[str, BM25Index] = {}
+    pairs = list(corpus.pairs())
+    for fk in sparse_keys(field_info):
+        field = field_info[fk]
+        formatted = format_documents(pairs, field.name, field.dataset)
+        out[fk] = BM25Index.create(formatted, name=field.name)
+    return out
+
+
+def save_dense_matrix(path: str, matrix: np.ndarray, keys: Sequence[str]) -> None:
+    np.savez(path, matrix=matrix, keys=np.asarray(list(keys), dtype=object))
+
+
+def load_dense_matrix(path: str) -> Tuple[np.ndarray, List[str]]:
+    data = np.load(path, allow_pickle=True)
+    return data["matrix"], list(data["keys"])

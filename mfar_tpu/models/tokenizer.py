@@ -64,7 +64,10 @@ class SimpleVocabTokenizer:
         return cls(vocab, max_length)
 
     def encode(self, text: str, max_length: Optional[int] = None) -> List[int]:
-        max_length = max_length or self.max_length
+        # The tokenizer's own max_length is the encoder's hard capacity cap
+        # (mirrors the reference's 512-token encoder limit): per-field
+        # budgets larger than it truncate here.
+        max_length = min(max_length or self.max_length, self.max_length)
         ids = [self.vocab.get(w, UNK_ID) for w in text.lower().split()]
         return [CLS_ID] + ids[: max_length - 2] + [SEP_ID]
 
@@ -74,7 +77,7 @@ class SimpleVocabTokenizer:
         max_length: Optional[int] = None,
         bucket: bool = True,
     ) -> Dict[str, np.ndarray]:
-        max_length = max_length or self.max_length
+        max_length = min(max_length or self.max_length, self.max_length)
         seqs = [self.encode(t, max_length) for t in texts]
         longest = max((len(s) for s in seqs), default=1)
         width = pad_to_bucket(longest, max_length) if bucket else max_length
@@ -127,7 +130,7 @@ class HFTokenizer:
         max_length: Optional[int] = None,
         bucket: bool = True,
     ) -> Dict[str, np.ndarray]:
-        max_length = max_length or self.max_length
+        max_length = min(max_length or self.max_length, self.max_length)
         t = self.tokenizer
         if hasattr(t, "encode_batch"):  # tokenizers.Tokenizer
             encs = t.encode_batch(list(texts))

@@ -1,0 +1,189 @@
+"""Host-side training data pipeline: instances, negatives, collation.
+
+Covers the reference's dataset/collate layer (reference:
+mfar/data/dataset.py:138-297) re-designed for a single-controller JAX
+setup:
+
+- one *global* batch per step (no DistributedSampler; the jit shards it);
+- per-field formatting + random word-window chunking with an explicit
+  numpy Generator (reproducible);
+- per-field tokenization at each field's token budget with bucketed padding
+  (static shapes for XLA, replacing ``padding='longest'``);
+- sparse BM25 score tensors for the hybrid loss assembled here on the host
+  -- [B, B, Fs] and [B, B*Nn, Fs] for the global batch -- from the
+  precomputed score cache when available, else scored live (replacing the
+  reference's mid-loss all_gather_object + ThreadPool BM25, reference:
+  mfar/modeling/losses.py:261-325).
+
+Queries shorter than 5 characters are replaced with "what", matching the
+reference's hack (mfar/data/dataset.py:158-161,222-224).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List, Mapping, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from mfar_tpu.data import trec
+from mfar_tpu.data.format import format_documents
+from mfar_tpu.data.negative_sampler import IndexNegativeSampler
+from mfar_tpu.data.types import Corpus, Field, random_chunk_text
+from mfar_tpu.data.schema import dense_keys, sparse_keys
+
+MIN_QUERY_CHARS = 5
+SHORT_QUERY_SUB = "what"
+
+
+def clean_query(text: str) -> str:
+    return SHORT_QUERY_SUB if len(text.strip()) < MIN_QUERY_CHARS else text
+
+
+class ContrastiveDataset:
+    """One training item per qrel: (query, positive doc, mined negatives)."""
+
+    def __init__(
+        self,
+        queries: Mapping[str, str],
+        corpus: Corpus,
+        qrels: Sequence[trec.QRels],
+        negative_sampler: Optional[IndexNegativeSampler],
+        field_info: Dict[str, Field],
+        tokenizer,
+        query_max_length: int = 512,
+        prefix: bool = False,
+        random_chunk: bool = True,
+        sparse_score_cache: Optional[Dict[str, Dict[int, Dict[int, float]]]] = None,
+        sparse_indices: Optional[Dict[str, Any]] = None,
+    ):
+        self.queries = dict(queries)
+        self.corpus = corpus
+        self.qrels = list(qrels)
+        self.neg_sampler = negative_sampler
+        self.field_info = field_info
+        self.tokenizer = tokenizer
+        self.query_max_length = query_max_length
+        self.prefix = prefix
+        self.random_chunk = random_chunk
+        self.sparse_score_cache = sparse_score_cache or {}
+        self.sparse_indices = sparse_indices or {}
+
+        self.dense_keys = dense_keys(field_info)
+        self.sparse_keys = sparse_keys(field_info)
+
+        self.pos_for_qid: Dict[str, Set[str]] = {}
+        for r in self.qrels:
+            self.pos_for_qid.setdefault(r.query_id, set()).add(r.doc_id)
+
+    def __len__(self) -> int:
+        return len(self.qrels)
+
+    # ------------------------------------------------------------------
+
+    def _field_text(self, doc_key: str, field: Field, rng) -> str:
+        doc = self.corpus.get_doc_by_key(doc_key)
+        _, text = format_documents([(doc.id, doc.raw)], field.name, field.dataset)[0]
+        if self.random_chunk:
+            text = random_chunk_text(text, field.max_seq_length, rng)
+        if self.prefix:
+            text = field.name.replace("___", " ") + ": " + text
+        return text
+
+    def make_batch(self, item_indices: Sequence[int], rng: np.random.Generator) -> Dict[str, Any]:
+        """Assemble one global batch (token arrays + sparse score tensors)."""
+        b = len(item_indices)
+        query_texts: List[str] = []
+        query_ids: List[str] = []
+        pos_keys: List[str] = []
+        neg_keys: List[str] = []  # b-major: [b0n0, b0n1, ..., b1n0, ...]
+        n_sample = self.neg_sampler.n_sample if self.neg_sampler else 0
+
+        for idx in item_indices:
+            qrel = self.qrels[idx]
+            q_text = clean_query(self.queries[qrel.query_id])
+            query_texts.append(q_text)
+            query_ids.append(qrel.query_id)
+            pos_keys.append(qrel.doc_id)
+            if self.neg_sampler:
+                negs = self.neg_sampler.sample(q_text, self.pos_for_qid[qrel.query_id], rng)
+                while len(negs) < n_sample:  # degenerate tiny-corpus case
+                    negs.append(pos_keys[-1])
+                neg_keys.extend(negs[:n_sample])
+
+        batch: Dict[str, Any] = {
+            "query": self.tokenizer.encode_batch(query_texts, self.query_max_length),
+            "pos": {},
+            "neg": {},
+            "meta": {"query_ids": query_ids, "pos_keys": pos_keys, "neg_keys": neg_keys},
+        }
+        for fk in self.dense_keys:
+            field = self.field_info[fk]
+            pos_texts = [self._field_text(k, field, rng) for k in pos_keys]
+            neg_texts = [self._field_text(k, field, rng) for k in neg_keys]
+            batch["pos"][fk] = self.tokenizer.encode_batch(pos_texts, field.max_seq_length)
+            if neg_texts:
+                batch["neg"][fk] = self.tokenizer.encode_batch(neg_texts, field.max_seq_length)
+
+        if self.sparse_keys:
+            sp, sn = self._sparse_scores(query_texts, query_ids, pos_keys, neg_keys, n_sample)
+            batch["sparse_pos"] = sp
+            batch["sparse_neg"] = sn
+        return batch
+
+    def _sparse_scores(
+        self,
+        query_texts: List[str],
+        query_ids: List[str],
+        pos_keys: List[str],
+        neg_keys: List[str],
+        n_sample: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """[B, B, Fs] and [B, B*Nn, Fs] BM25 scores for the global batch.
+
+        Cache path: {field: {qid: {doc_row_id: score}}} (the precompute
+        pipeline's format); live path: full BM25 scoring per field."""
+        b = len(query_texts)
+        sp = np.zeros((b, len(pos_keys), len(self.sparse_keys)), np.float32)
+        sn = np.zeros((b, max(len(neg_keys), 1), len(self.sparse_keys)), np.float32)
+
+        # Reorder negatives doc-major to match the loss layout: column
+        # m*Nn+j <-> doc m's j-th negative.  neg_keys is already b-major
+        # which IS doc-major here (doc m == batch item m).
+        for s_i, fk in enumerate(self.sparse_keys):
+            cache = self.sparse_score_cache.get(fk)
+            index = self.sparse_indices.get(fk)
+            usable_cache = cache is not None and all(
+                int(qid) in cache for qid in query_ids if qid.isdigit()
+            ) and all(qid.isdigit() for qid in query_ids)
+            if usable_cache:
+                sp[:, :, s_i] = index.score_batch_with_cache(
+                    [int(q) for q in query_ids], pos_keys, cache
+                )
+                if neg_keys:
+                    sn[:, :, s_i] = index.score_batch_with_cache(
+                        [int(q) for q in query_ids], neg_keys, cache
+                    )
+            elif index is not None:
+                sp[:, :, s_i] = index.score_batch(query_texts, pos_keys)
+                if neg_keys:
+                    sn[:, :, s_i] = index.score_batch(query_texts, neg_keys)
+        return sp, sn
+
+    # ------------------------------------------------------------------
+
+    def epoch_batches(
+        self, batch_size: int, seed: int, drop_remainder: bool = True
+    ) -> Iterator[Dict[str, Any]]:
+        """Shuffled epoch iterator; seed controls both order and chunking."""
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(self.qrels))
+        for start in range(0, len(order) - (batch_size - 1 if drop_remainder else 0), batch_size):
+            chunk = order[start : start + batch_size]
+            if drop_remainder and len(chunk) < batch_size:
+                break
+            yield self.make_batch([int(i) for i in chunk], rng)
+
+
+def strip_meta(batch: Dict[str, Any]) -> Dict[str, Any]:
+    """Drop host-only fields before feeding the jitted step."""
+    return {k: v for k, v in batch.items() if k != "meta"}

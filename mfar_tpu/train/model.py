@@ -120,6 +120,9 @@ class MFARModel(nn.Module):
                 ],
                 axis=1,
             )  # [B, Fd, E]
+        else:
+            pos_embs = jnp.zeros((q.shape[0], 0, q.shape[-1]), q.dtype)
+        if field_keys and neg_tokens:
             b = q.shape[0]
             neg_stack = jnp.stack(
                 [
@@ -127,17 +130,17 @@ class MFARModel(nn.Module):
                     for fk in field_keys
                 ],
                 axis=1,
-            )  # [B*Nn, Fd, E]
+            )  # [B*Nn, Fd, E]  (b-major: row b*Nn+j is item b's j-th negative)
             nn_ = neg_stack.shape[0] // b
             neg_embs = neg_stack.reshape(b, nn_, len(field_keys), -1).transpose(0, 2, 1, 3)
         else:
-            pos_embs = jnp.zeros((q.shape[0], 0, q.shape[-1]), q.dtype)
-            neg_embs = jnp.zeros((q.shape[0], 0, 1, q.shape[-1]), q.dtype)
+            neg_embs = None
+            sparse_neg = None
 
         return hybrid_contrastive_loss(
             q.astype(jnp.float32),
             pos_embs.astype(jnp.float32),
-            neg_embs.astype(jnp.float32),
+            None if neg_embs is None else neg_embs.astype(jnp.float32),
             sparse_pos,
             sparse_neg,
             mix_fn=self.mix,
