@@ -1,0 +1,140 @@
+"""Checkpoint / resume via orbax.
+
+Reference behavior replicated (mfar/commands/train.py:232-240,258-263 and
+mfar/modeling/contrastive.py:634-645): checkpoints monitored by valid_loss,
+keep top-k (default 100) + last, best path persisted to ``{out}/best.txt``,
+field schemas serialized alongside weights, corpus/indices never
+checkpointed (always rebuilt from the encoder).  Improvements over the
+reference: full optimizer + batchnorm + RNG state saved, so mid-training
+resume is exact (the reference had weights-only checkpoints and no mid-run
+resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from mfar_tpu.data.types import Field
+from mfar_tpu.train.train_step import TrainState
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        out_dir: str,
+        max_to_keep: int = 100,
+        monitor: str = "valid_loss",
+        mode: str = "min",
+    ):
+        self.out_dir = os.path.abspath(out_dir)
+        os.makedirs(self.out_dir, exist_ok=True)
+        self.monitor = monitor
+        self._manager = ocp.CheckpointManager(
+            os.path.join(self.out_dir, "checkpoints"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                best_fn=lambda metrics: metrics.get(monitor, float("inf")),
+                best_mode=mode,
+                create=True,
+            ),
+        )
+
+    # ------------------------------------------------------------------
+
+    def save(
+        self,
+        step: int,
+        state: TrainState,
+        metrics: Dict[str, float],
+        field_info: Optional[Dict[str, Field]] = None,
+        config: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        payload = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": state.rng,
+        }
+        self._manager.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(payload),
+            ),
+            metrics={k: float(v) for k, v in metrics.items()},
+        )
+        self._manager.wait_until_finished()
+        sidecar = {
+            "field_info": {k: f.serialize() for k, f in (field_info or {}).items()},
+            "config": config or {},
+            "metrics": {k: float(v) for k, v in metrics.items()},
+        }
+        with open(os.path.join(self._step_dir(step), "meta.json"), "w") as f:
+            json.dump(sidecar, f, indent=2)
+        self.write_best_txt()
+
+    def _step_dir(self, step: int) -> str:
+        return os.path.join(self.out_dir, "checkpoints", str(step))
+
+    def best_step(self) -> Optional[int]:
+        return self._manager.best_step()
+
+    def latest_step(self) -> Optional[int]:
+        return self._manager.latest_step()
+
+    def write_best_txt(self) -> None:
+        """Persist the best checkpoint path, the reference's handoff file to
+        mask_fields (mfar/commands/train.py:262-263)."""
+        best = self.best_step()
+        if best is not None:
+            with open(os.path.join(self.out_dir, "best.txt"), "w") as f:
+                f.write(self._step_dir(best))
+
+    # ------------------------------------------------------------------
+
+    def restore(self, step: Optional[int], template_state: TrainState) -> TrainState:
+        step = step if step is not None else self.latest_step()
+        assert step is not None, "no checkpoint to restore"
+        payload = {
+            "params": template_state.params,
+            "batch_stats": template_state.batch_stats,
+            "opt_state": template_state.opt_state,
+            "step": template_state.step,
+            "rng": template_state.rng,
+        }
+        restored = self._manager.restore(
+            step,
+            args=ocp.args.Composite(state=ocp.args.StandardRestore(payload)),
+        )["state"]
+        return TrainState(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+            rng=restored["rng"],
+        )
+
+    def restore_meta(self, step: Optional[int] = None) -> Dict[str, Any]:
+        step = step if step is not None else self.best_step() or self.latest_step()
+        with open(os.path.join(self._step_dir(step), "meta.json")) as f:
+            return json.load(f)
+
+    def close(self) -> None:
+        self._manager.close()
+
+
+def read_best_dir(out_dir: str) -> str:
+    """Resolve the best checkpoint directory from best.txt (the reference's
+    reload path, mfar/commands/mask_fields.py:106-108)."""
+    with open(os.path.join(out_dir, "best.txt")) as f:
+        return f.read().strip()
+
+
+def fields_from_meta(meta: Dict[str, Any]) -> Dict[str, Field]:
+    return {k: Field.deserialize(d) for k, d in meta.get("field_info", {}).items()}

@@ -1,0 +1,293 @@
+"""The training driver: epochs, validation, trec eval, early stop, resume.
+
+Single-controller replacement for the reference's Lightning Trainer +
+callbacks stack (reference: mfar/commands/train.py:223-263, and the
+RetrievalTrainingModule hooks, mfar/modeling/contrastive.py:465-631):
+
+- per-epoch train loop over the jitted step (global batch; the jit shards);
+- proxy validation (val contrastive loss) every epoch, full trec retrieval
+  eval every ``trec_val_freq`` epochs -- rebuilding the dense corpus index
+  from the *current* encoder exactly like the reference's on_eval_start;
+- EarlyStopping(monitor=valid_loss, patience) + checkpoint top-k + best.txt;
+- ``dev_by_iter`` (amazon) runs validation several times per epoch
+  (reference: mfar/commands/train.py:88,251);
+- ``run_one_iteration`` smoke mode limits train/val to one batch.
+
+No per-rank qres files, no dedup-merge, no filesystem barriers: one process
+drives the mesh, so eval writes one qres file directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Mapping, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mfar_tpu.data import trec
+from mfar_tpu.data.schema import sparse_keys
+from mfar_tpu.data.types import Corpus, Field
+from mfar_tpu.eval.index_build import build_dense_corpus_matrix
+from mfar_tpu.eval.retrieval import RetrievalEngine
+from mfar_tpu.train.checkpoint import CheckpointManager
+from mfar_tpu.train.data_pipeline import ContrastiveDataset, strip_meta
+from mfar_tpu.train.train_step import TrainState, make_eval_loss_step, make_train_step
+from mfar_tpu.utils.logging import MetricsLogger
+from mfar_tpu.utils.timing import Timer
+
+PROG_METRICS = (
+    "map", "recip_rank", "recall_5", "recall_10", "recall_20", "recall_100",
+    "ndcg", "ndcg_cut_10", "Rprec", "success_1",
+)
+RESULT_KEYS = (
+    "success_1", "success_5", "recall_5", "recall_10", "recall_15",
+    "recall_20", "ndcg", "ndcg_cut_10", "recip_rank", "map",
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    out_dir: str
+    max_epochs: int = 50
+    patience: int = 10
+    trec_val_freq: int = 0
+    train_batch_size: int = 16
+    dev_batch_size: int = 64
+    index_batch_size: int = 256
+    seed: int = 0xDEADBEEF
+    run_one_iteration: bool = False
+    dev_by_iter: bool = False  # validate 5x per epoch (amazon)
+    recall_k: int = 100
+    top_k: int = 100
+    query_max_length: int = 512
+    monitor: str = "valid_loss"
+    prefix: bool = False
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        optimizer,
+        tokenizer,
+        field_info: Dict[str, Field],
+        corpus: Corpus,
+        train_dataset: ContrastiveDataset,
+        val_dataset: ContrastiveDataset,
+        dev_queries: Mapping[str, str],
+        dev_qrels_path: str,
+        config: TrainerConfig,
+        sparse_indices: Optional[Dict[str, Any]] = None,
+        additional_queries: Optional[Mapping[str, str]] = None,
+        additional_qrels_path: Optional[str] = None,
+        logger: Optional[MetricsLogger] = None,
+    ):
+        self.model = model
+        self.optimizer = optimizer
+        self.tokenizer = tokenizer
+        self.field_info = field_info
+        self.corpus = corpus
+        self.train_dataset = train_dataset
+        self.val_dataset = val_dataset
+        self.dev_queries = dict(dev_queries)
+        self.dev_qrels_path = dev_qrels_path
+        self.additional_queries = dict(additional_queries or {})
+        self.additional_qrels_path = additional_qrels_path
+        self.cfg = config
+        self.sparse_indices = sparse_indices or {}
+        self.logger = logger or MetricsLogger(config.out_dir)
+        self.timer = Timer()
+
+        os.makedirs(config.out_dir, exist_ok=True)
+        self.ckpt = CheckpointManager(config.out_dir, monitor=config.monitor)
+        self.train_step = jax.jit(make_train_step(model, optimizer))
+        self.eval_step = jax.jit(make_eval_loss_step(model))
+        self.best_score = 0.0
+        self.mask: Optional[np.ndarray] = None
+        self.masked_fields_string = ""
+
+    # ------------------------------------------------------------------
+
+    def _encode_fn(self, state: TrainState):
+        params = state.params
+
+        @jax.jit
+        def encode(ids, mask):
+            return self.model.apply({"params": params}, ids, mask, method=self.model.encode)
+
+        return encode
+
+    def build_engine(self, state: TrainState) -> RetrievalEngine:
+        """(Re)index the corpus with the current encoder and assemble the
+        retrieval engine (reference on_eval_start,
+        mfar/modeling/contrastive.py:465-496)."""
+        encode = self._encode_fn(state)
+        dense_fields = {k: f for k, f in self.field_info.items() if f.is_dense}
+        with self.timer.phase("index_build"):
+            matrix = build_dense_corpus_matrix(
+                encode,
+                self.tokenizer,
+                self.corpus,
+                dense_fields,
+                batch_size=self.cfg.index_batch_size,
+                prefix=self.cfg.prefix,
+            )
+        return RetrievalEngine(
+            field_info=self.field_info,
+            doc_keys=list(self.corpus.keys()),
+            encode_fn=encode,
+            tokenizer=self.tokenizer,
+            mixer_params=state.params["mixer"],
+            dense_matrix=matrix if matrix.size else None,
+            sparse_indices={k: self.sparse_indices[k] for k in sparse_keys(self.field_info)},
+            query_max_length=self.cfg.query_max_length,
+            recall_k=self.cfg.recall_k,
+            mask=self.mask,
+        )
+
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, state: TrainState, epoch: int) -> tuple:
+        losses = []
+        val_losses = []
+        batches = list(
+            self.train_dataset.epoch_batches(self.cfg.train_batch_size, seed=self.cfg.seed + epoch)
+        )
+        if self.cfg.run_one_iteration:
+            batches = batches[:1]
+        n = len(batches)
+        val_every = max(1, n // 5) if self.cfg.dev_by_iter else n + 1
+        for i, batch in enumerate(batches):
+            with self.timer.phase("train_step"):
+                state, metrics = self.train_step(state, strip_meta(batch))
+            losses.append(float(metrics["loss"]))
+            if (i + 1) % val_every == 0 and i + 1 < n:
+                val_losses.append(self.validate_proxy(state))
+        return state, float(np.mean(losses)) if losses else 0.0, val_losses
+
+    def validate_proxy(self, state: TrainState) -> float:
+        """Cheap validation signal: val-set contrastive loss (reference:
+        mfar/modeling/contrastive.py:647-667)."""
+        losses = []
+        for batch in self.val_dataset.epoch_batches(
+            self.cfg.train_batch_size, seed=0, drop_remainder=True
+        ):
+            with self.timer.phase("val_step"):
+                losses.append(float(self.eval_step(state, strip_meta(batch))))
+            if self.cfg.run_one_iteration:
+                break
+        return float(np.mean(losses)) if losses else float("inf")
+
+    def trec_eval(
+        self,
+        state: TrainState,
+        queries: Mapping[str, str],
+        qrels_path: str,
+        tag: str,
+        engine: Optional[RetrievalEngine] = None,
+    ) -> Dict[str, float]:
+        """Full retrieval eval: retrieve -> qres file -> trec metrics."""
+        engine = engine or self.build_engine(state)
+        qids = list(queries.keys())
+        qres: List[trec.QRes] = []
+        for start in range(0, len(qids), self.cfg.dev_batch_size):
+            chunk = qids[start : start + self.cfg.dev_batch_size]
+            with self.timer.phase("retrieve"):
+                results = engine.retrieve([queries[q] for q in chunk], top_k=self.cfg.top_k)
+            qres.extend(engine.to_qres(chunk, results))
+        qres_path = os.path.join(self.cfg.out_dir, f"{tag}.qres")
+        trec.write_qres(qres_path, qres)
+        with self.timer.phase("trec_eval"):
+            return trec.call_trec_eval_and_get_metrics(qrels_path, qres_path)
+
+    # ------------------------------------------------------------------
+
+    def fit(self, state: TrainState) -> TrainState:
+        cfg = self.cfg
+        best_monitor = float("inf")
+        epochs_without_improvement = 0
+
+        for epoch in range(cfg.max_epochs):
+            state, train_loss, mid_val = self.train_epoch(state, epoch)
+            valid_loss = self.validate_proxy(state)
+            metrics: Dict[str, float] = {"train_loss": train_loss, "valid_loss": valid_loss}
+
+            if cfg.trec_val_freq > 0 and (epoch + 1) % cfg.trec_val_freq == 0:
+                dev = self.trec_eval(state, self.dev_queries, self.dev_qrels_path, f"epoch{epoch}-dev")
+                metrics.update({f"dev_{k}": v for k, v in dev.items() if k in PROG_METRICS})
+                score = dev.get("ndcg_cut_10", 0.0)
+                if score > self.best_score:
+                    self.best_score = score
+                metrics["best_ndcg_cut_10"] = self.best_score
+
+            self.logger.log(metrics, step=int(state.step))
+            print(
+                f"[epoch {epoch}] train_loss={train_loss:.4f} valid_loss={valid_loss:.4f}"
+                + (f" dev_ndcg@10={metrics.get('dev_ndcg_cut_10', float('nan')):.4f}"
+                   if "dev_ndcg_cut_10" in metrics else "")
+            )
+            self.ckpt.save(
+                epoch, state, metrics, field_info=self.field_info,
+                config=dataclasses.asdict(cfg),
+            )
+
+            monitored = metrics.get(cfg.monitor, valid_loss)
+            if monitored < best_monitor - 1e-12:
+                best_monitor = monitored
+                epochs_without_improvement = 0
+            else:
+                epochs_without_improvement += 1
+                if epochs_without_improvement >= cfg.patience:
+                    print(f"[early stop] no {cfg.monitor} improvement for {cfg.patience} epochs")
+                    break
+            if cfg.run_one_iteration:
+                break
+        return state
+
+    # ------------------------------------------------------------------
+
+    def mask_field(self, field_idx_list: List[int]) -> None:
+        """Zero the scores of the given field indices at eval (reference:
+        mfar/modeling/contrastive.py:706-714)."""
+        names = list(self.field_info.keys())
+        self.masked_fields_string = ",".join(names[i] for i in field_idx_list)
+        mask = np.ones(len(self.field_info), np.float32)
+        mask[np.asarray(field_idx_list, dtype=int)] = 0.0
+        self.mask = mask
+
+    def clear_mask(self) -> None:
+        self.mask = None
+        self.masked_fields_string = ""
+
+    def test(self, state: TrainState, verbose: bool = True) -> Dict[str, Dict[str, float]]:
+        """Final eval on dev (+ additional) partitions; appends one line per
+        configuration to results_dicts.jsonl (reference:
+        mfar/modeling/contrastive.py:566-613)."""
+        engine = self.build_engine(state)
+        out: Dict[str, Dict[str, float]] = {}
+        partitions = [("dev", self.dev_queries, self.dev_qrels_path)]
+        if self.additional_queries and self.additional_qrels_path:
+            partitions.append(("additional", self.additional_queries, self.additional_qrels_path))
+        for tag, queries, qrels_path in partitions:
+            metrics = self.trec_eval(state, queries, qrels_path, f"final-{tag}", engine=engine)
+            out[tag] = metrics
+            record = {k: f"{metrics.get(k, 0.0):.3f}" for k in RESULT_KEYS}
+            record["masked_fields"] = self.masked_fields_string
+            record["additional"] = "test" if tag == "additional" else "val"
+            if verbose:
+                print("\t".join(RESULT_KEYS))
+                print("\t".join(record[k] for k in RESULT_KEYS))
+                print(json.dumps(record))
+            with open(os.path.join(self.cfg.out_dir, "results_dicts.jsonl"), "a") as f:
+                f.write(json.dumps(record) + "\n")
+            self.logger.log(
+                {f"{'additional' if tag == 'additional' else 'best'}_{k}": v
+                 for k, v in metrics.items() if k in PROG_METRICS},
+                step=int(state.step),
+            )
+        return out
