@@ -1,0 +1,220 @@
+"""Train a multi-field retriever (the reference's main entry point).
+
+CLI parity with ``python -m mfar.commands.train`` (reference:
+mfar/commands/train.py:25-65): same flag vocabulary, same defaults where
+they exist.  Differences by design: no --num-gpus / DDP plumbing (the jit
+shards over whatever mesh is available), no --temp-dir memmaps (accepted,
+ignored with a note), and an offline ``--model-name synthetic`` path.
+
+Example (smoke):
+    python -m mfar_tpu.commands.train --dataset-name amazon \
+        --data /path/ds --out /tmp/run --lexical-index /path/idx \
+        --field-names all_dense,all_sparse --weights-lr 0.1 \
+        --model-name synthetic --run-one-iteration
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+
+from mfar_tpu.commands.common import (
+    add_data_args,
+    corpus_texts_for_vocab,
+    load_corpus,
+    load_negative_sampler_index,
+    load_or_build_sparse_indices,
+    resolve_data_dirs,
+)
+from mfar_tpu.data import trec
+from mfar_tpu.data.negative_sampler import IndexNegativeSampler
+from mfar_tpu.data.schema import resolve_fields
+from mfar_tpu.models.registry import prepare_model
+from mfar_tpu.train.data_pipeline import ContrastiveDataset
+from mfar_tpu.train.model import MFARModel
+from mfar_tpu.train.optim import make_optimizer
+from mfar_tpu.train.sparse_cache import read_sparse_scores
+from mfar_tpu.train.train_step import init_state
+from mfar_tpu.train.trainer import Trainer, TrainerConfig
+from mfar_tpu.utils.logging import MetricsLogger
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_data_args(p)
+    p.add_argument("--lexical-index", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--temp-dir", default=None, help="accepted for reference CLI parity; unused "
+                   "(corpus vectors are HBM-resident, not memmapped)")
+    p.add_argument("--partition", default="val")
+    p.add_argument("--additional-partition", default=None)
+    p.add_argument("--sparse-scores-path", default=None)
+    p.add_argument("--model-name", default="facebook/contriever-msmarco")
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--normalize", action="store_true")
+    p.add_argument("--temperature", type=float, default=0.05)
+    p.add_argument("--negative-sampling-params", default="100,50,1",
+                   help="n_retrieve,n_bottom,n_sample")
+    p.add_argument("--encoder-lr", type=float, default=1e-4)
+    p.add_argument("--weights-lr", type=float, required=True)
+    p.add_argument("--regularizer", type=float, default=0.0, help="weight decay")
+    p.add_argument("--train-batch-size", type=int, default=16)
+    p.add_argument("--dev-batch-size", type=int, default=64)
+    p.add_argument("--train-max-length", type=int, default=512)
+    p.add_argument("--dev-max-length", type=int, default=512)
+    p.add_argument("--max-epochs", type=int, default=50)
+    p.add_argument("--patience", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0xDEADBEEF)
+    p.add_argument("--logger", default=None, choices=[None, "wandb", "mlflow", "mlflow_local"])
+    p.add_argument("--freeze-encoder", action="store_true")
+    p.add_argument("--experiment-name", default=None)
+    p.add_argument("--trec-val-freq", type=int, default=0)
+    p.add_argument("--query-cond", dest="query_cond", action="store_true", default=True)
+    p.add_argument("--no-query-cond", dest="query_cond", action="store_false")
+    p.add_argument("--prefix", action="store_true")
+    p.add_argument("--run-one-iteration", action="store_true")
+    p.add_argument("--use-batchnorm", action="store_true")
+    p.add_argument("--recall-k", type=int, default=100)
+    return p
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    resolve_data_dirs(args)
+    os.makedirs(args.out, exist_ok=True)
+
+    field_info = resolve_fields(args.field_names, args.dataset_name)
+    model_name = args.model_path or args.model_name
+    neg_params = tuple(int(x) for x in args.negative_sampling_params.split(","))
+    # amazon validates several times per epoch (reference:
+    # mfar/commands/train.py:88,251)
+    dev_by_iter = args.dataset_name == "amazon"
+
+    print(
+        json.dumps(
+            {
+                "model": model_name,
+                "dataset": args.dataset_name,
+                "fields": {k: f.serialize() for k, f in field_info.items()},
+                "encoder_lr": args.encoder_lr,
+                "weights_lr": args.weights_lr,
+                "trec_val_freq": args.trec_val_freq,
+                "seed": args.seed,
+                "start_time": time.strftime("%Y-%m-%d %H:%M:%S"),
+            },
+            indent=2,
+        )
+    )
+
+    corpus = load_corpus(args.corpus, args.dataset_name)
+    train_queries = trec.read_queries(os.path.join(args.queries, "train.queries"))
+    val_queries = trec.read_queries(os.path.join(args.queries, "val.queries"))
+    dev_queries = trec.read_queries(os.path.join(args.queries, f"{args.partition}.queries"))
+
+    config, params, tokenizer = prepare_model(
+        model_name,
+        normalize=args.normalize,
+        corpus_texts=corpus_texts_for_vocab(corpus, field_info),
+    )
+
+    sparse_indices = load_or_build_sparse_indices(corpus, field_info, args.lexical_index)
+    neg_index = load_negative_sampler_index(corpus, args.lexical_index, args.dataset_name)
+    sampler = IndexNegativeSampler(neg_index, *neg_params)
+
+    sparse_scores = None
+    if args.sparse_scores_path and sparse_indices:
+        t0 = time.time()
+        sparse_scores = read_sparse_scores(args.sparse_scores_path, field_info)
+        print(f"Read sparse scores in {time.time() - t0:.1f}s")
+
+    model = MFARModel(
+        encoder_config=config,
+        num_fields=len(field_info),
+        query_cond=args.query_cond,
+        use_batchnorm=args.use_batchnorm,
+        temperature=args.temperature,
+    )
+    optimizer = make_optimizer(
+        encoder_lr=args.encoder_lr,
+        weights_lr=args.weights_lr,
+        weight_decay=args.regularizer,
+        freeze_encoder=args.freeze_encoder,
+        use_adafactor="t5" in model_name,
+    )
+    state = init_state(model, optimizer, seed=args.seed % (2**31))
+    # Graft pretrained encoder weights over the random init.
+    import jax.numpy as jnp
+
+    state = state._replace(params={**state.params, "encoder": jax.tree.map(jnp.asarray, params)})
+    state = state._replace(opt_state=optimizer.init(state.params))
+
+    mk_ds = lambda queries, qrels, max_len: ContrastiveDataset(
+        queries, corpus, qrels, sampler, field_info, tokenizer,
+        query_max_length=max_len, prefix=args.prefix,
+        sparse_score_cache=sparse_scores, sparse_indices=sparse_indices,
+    )
+    train_ds = mk_ds(
+        train_queries,
+        trec.QRels.from_file(os.path.join(args.queries, "train.qrels")),
+        args.train_max_length,
+    )
+    val_ds = mk_ds(
+        val_queries,
+        trec.QRels.from_file(os.path.join(args.queries, "val.qrels")),
+        args.dev_max_length,
+    )
+
+    cfg = TrainerConfig(
+        out_dir=args.out,
+        max_epochs=args.max_epochs,
+        patience=args.patience,
+        trec_val_freq=args.trec_val_freq,
+        train_batch_size=args.train_batch_size,
+        dev_batch_size=args.dev_batch_size,
+        seed=args.seed % (2**31),
+        run_one_iteration=args.run_one_iteration,
+        dev_by_iter=dev_by_iter,
+        recall_k=args.recall_k,
+        query_max_length=args.dev_max_length,
+        prefix=args.prefix,
+    )
+    logger = MetricsLogger(args.out, backend=args.logger, run_name=args.experiment_name)
+    logger.log_hyperparams(vars(args))
+
+    additional_queries = None
+    additional_qrels = None
+    if args.additional_partition:
+        additional_queries = trec.read_queries(
+            os.path.join(args.queries, f"{args.additional_partition}.queries")
+        )
+        additional_qrels = os.path.join(args.queries, f"{args.additional_partition}.qrels")
+
+    trainer = Trainer(
+        model=model, optimizer=optimizer, tokenizer=tokenizer, field_info=field_info,
+        corpus=corpus, train_dataset=train_ds, val_dataset=val_ds,
+        dev_queries=dev_queries,
+        dev_qrels_path=os.path.join(args.queries, f"{args.partition}.qrels"),
+        config=cfg, sparse_indices=sparse_indices,
+        additional_queries=additional_queries, additional_qrels_path=additional_qrels,
+        logger=logger,
+    )
+
+    print(f"Starting training: {time.strftime('%Y-%m-%d %H:%M:%S')}")
+    state = trainer.fit(state)
+
+    # Reload best checkpoint for the final test (reference:
+    # mfar/commands/train.py:260 trainer.test(ckpt='best')).
+    best = trainer.ckpt.best_step()
+    if best is not None:
+        state = trainer.ckpt.restore(best, state)
+    trainer.test(state)
+    trainer.ckpt.write_best_txt()
+    print(f"[timing] {trainer.timer.report()}")
+
+
+if __name__ == "__main__":
+    main()

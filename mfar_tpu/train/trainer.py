@@ -175,7 +175,7 @@ class Trainer:
         mfar/modeling/contrastive.py:647-667)."""
         losses = []
         for batch in self.val_dataset.epoch_batches(
-            self.cfg.train_batch_size, seed=0, drop_remainder=True
+            self.cfg.train_batch_size, seed=0, drop_remainder=False
         ):
             with self.timer.phase("val_step"):
                 losses.append(float(self.eval_step(state, strip_meta(batch))))
