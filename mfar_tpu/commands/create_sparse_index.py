@@ -29,7 +29,7 @@ def main(argv=None) -> None:
         formatted = format_documents(corpus, field.name, field.dataset)
         index = BM25Index.create(formatted, name=field.name)
         index.save(f"{args.output_path}/{field_key}_sparse_index")
-        print(f"built {field_key}: {len(index.keys)} docs, vocab {len(index.vocab)}")
+        print(f"built {field_key}: {len(index.keys)} docs, vocab {index.vocab_size}")
 
 
 if __name__ == "__main__":

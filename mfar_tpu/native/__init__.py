@@ -1,0 +1,170 @@
+"""ctypes bindings for the native C++ sparse engine.
+
+Loads ``libmfar_native.so`` (built by ``make -C mfar_tpu/native``) and
+exposes :class:`NativeBM25` plus stemmer/tokenizer entry points.  When the
+library is absent everything degrades to the scipy/python implementations in
+:mod:`mfar_tpu.sparse` -- the native engine is a drop-in accelerator, not a
+hard dependency.  Parity between the two is enforced by
+tests/test_native.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libmfar_native.so")
+_lib = None
+
+
+def load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    lib.mfar_bm25_build.restype = ctypes.c_void_p
+    lib.mfar_bm25_build.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+    ]
+    lib.mfar_bm25_free.argtypes = [ctypes.c_void_p]
+    lib.mfar_bm25_n_docs.restype = ctypes.c_int32
+    lib.mfar_bm25_n_docs.argtypes = [ctypes.c_void_p]
+    lib.mfar_bm25_vocab_size.restype = ctypes.c_int64
+    lib.mfar_bm25_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.mfar_bm25_score.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mfar_bm25_retrieve.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mfar_bm25_score_batch.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mfar_bm25_save.restype = ctypes.c_int32
+    lib.mfar_bm25_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.mfar_bm25_load.restype = ctypes.c_void_p
+    lib.mfar_bm25_load.argtypes = [ctypes.c_char_p]
+    lib.mfar_stem.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int32]
+    lib.mfar_tokenize.restype = ctypes.c_int64
+    lib.mfar_tokenize.argtypes = [ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def build_native_library(force: bool = False) -> bool:
+    """Compile the shared library with make; returns availability."""
+    if available() and not force:
+        return True
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", os.path.dirname(__file__)],
+            check=True, capture_output=True,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError) as e:
+        print(f"[native] build failed: {e}")
+        return False
+    global _lib
+    _lib = None
+    return available()
+
+
+def native_stem(word: str) -> str:
+    lib = load_library()
+    buf = ctypes.create_string_buffer(64)
+    lib.mfar_stem(word.encode("utf-8"), buf, 64)
+    return buf.value.decode("utf-8")
+
+
+def native_tokenize(text: str) -> List[str]:
+    lib = load_library()
+    encoded = text.encode("utf-8")
+    need = lib.mfar_tokenize(encoded, None, 0)
+    buf = ctypes.create_string_buffer(int(need))
+    lib.mfar_tokenize(encoded, buf, need)
+    s = buf.value.decode("utf-8")
+    return s.split("\n") if s else []
+
+
+def _c_str_array(texts: Sequence[str]):
+    arr = (ctypes.c_char_p * len(texts))()
+    encoded = [t.encode("utf-8") for t in texts]
+    arr[:] = encoded
+    return arr, encoded  # keep encoded alive
+
+
+class NativeBM25:
+    """Native-engine twin of :class:`mfar_tpu.sparse.bm25.BM25Index`'s
+    scoring core.  Keys<->row-id mapping stays in Python."""
+
+    def __init__(self, handle, n_docs: int):
+        self._lib = load_library()
+        self._handle = handle
+        self.n_docs = n_docs
+
+    @classmethod
+    def create(cls, texts: Sequence[str], k1: float = 1.2, b: float = 0.75) -> "NativeBM25":
+        lib = load_library()
+        assert lib is not None, "native library not built (make -C mfar_tpu/native)"
+        arr, _keep = _c_str_array(texts)
+        handle = lib.mfar_bm25_build(arr, len(texts), k1, b)
+        return cls(handle, len(texts))
+
+    @property
+    def vocab_size(self) -> int:
+        return int(self._lib.mfar_bm25_vocab_size(self._handle))
+
+    def get_scores(self, query: str) -> np.ndarray:
+        out = np.zeros(self.n_docs, np.float32)
+        self._lib.mfar_bm25_score(
+            self._handle, query.encode("utf-8"),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+
+    def get_scores_batch(self, queries: Sequence[str]) -> np.ndarray:
+        out = np.zeros((len(queries), self.n_docs), np.float32)
+        arr, _keep = _c_str_array(queries)
+        self._lib.mfar_bm25_score_batch(
+            self._handle, arr, len(queries),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+
+    def retrieve(self, query: str, top_k: int) -> Tuple[np.ndarray, np.ndarray]:
+        ids = np.full(top_k, -1, np.int32)
+        scores = np.zeros(top_k, np.float32)
+        self._lib.mfar_bm25_retrieve(
+            self._handle, query.encode("utf-8"), top_k,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return ids, scores
+
+    def save(self, path: str) -> None:
+        rc = self._lib.mfar_bm25_save(self._handle, path.encode("utf-8"))
+        assert rc == 0, f"native save failed: {path}"
+
+    @classmethod
+    def load(cls, path: str) -> "NativeBM25":
+        lib = load_library()
+        handle = lib.mfar_bm25_load(path.encode("utf-8"))
+        assert handle, f"native load failed: {path}"
+        return cls(handle, int(lib.mfar_bm25_n_docs(handle)))
+
+    def __del__(self):
+        if getattr(self, "_handle", None) and self._lib:
+            self._lib.mfar_bm25_free(self._handle)
+            self._handle = None

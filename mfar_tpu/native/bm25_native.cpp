@@ -1,0 +1,523 @@
+// Native host-side sparse retrieval engine for mfar_tpu.
+//
+// The reference leans on third-party native code for its sparse path
+// (bm25s scipy CSR kernels + PyStemmer C bindings, reference:
+// mfar/data/index.py:39-157).  This is the framework's own implementation:
+// Porter2 stemming, tokenization, Lucene-variant BM25 impact-matrix build,
+// full-corpus scoring and top-k retrieval, exposed through a C ABI consumed
+// via ctypes (mfar_tpu/native/__init__.py).  Scoring semantics are
+// bit-compatible with the scipy fallback in mfar_tpu/sparse/bm25.py (the
+// parity test suite enforces it).
+//
+// Build: make -C mfar_tpu/native
+
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <fstream>
+#include <numeric>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
+#include <vector>
+
+namespace {
+
+// ----------------------------------------------------------------------
+// Porter2 (Snowball English) stemmer -- same algorithm as
+// mfar_tpu/sparse/stemmer.py (the Python file is the readable spec).
+// ----------------------------------------------------------------------
+
+inline bool is_vowel(char c) {
+  return c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u' || c == 'y';
+}
+
+const std::unordered_map<std::string, std::string>& exceptions() {
+  static const std::unordered_map<std::string, std::string> m = {
+      {"skis", "ski"},     {"skies", "sky"},   {"dying", "die"},
+      {"lying", "lie"},    {"tying", "tie"},   {"idly", "idl"},
+      {"gently", "gentl"}, {"ugly", "ugli"},   {"early", "earli"},
+      {"only", "onli"},    {"singly", "singl"},{"sky", "sky"},
+      {"news", "news"},    {"howe", "howe"},   {"atlas", "atlas"},
+      {"cosmos", "cosmos"},{"bias", "bias"},   {"andes", "andes"},
+  };
+  return m;
+}
+
+const std::unordered_set<std::string>& exceptions_post_1a() {
+  static const std::unordered_set<std::string> s = {
+      "inning", "outing", "canning", "herring",
+      "earring", "proceed", "exceed", "succeed"};
+  return s;
+}
+
+bool ends_with(const std::string& w, const char* suf) {
+  size_t n = std::strlen(suf);
+  return w.size() >= n && w.compare(w.size() - n, n, suf) == 0;
+}
+
+bool ends_double(const std::string& w) {
+  static const char* doubles[] = {"bb", "dd", "ff", "gg", "mm",
+                                  "nn", "pp", "rr", "tt"};
+  for (auto d : doubles)
+    if (ends_with(w, d)) return true;
+  return false;
+}
+
+int r1_start(const std::string& w) {
+  static const char* prefixes[] = {"gener", "commun", "arsen"};
+  for (auto p : prefixes) {
+    size_t n = std::strlen(p);
+    if (w.compare(0, n, p) == 0) return (int)n;
+  }
+  for (size_t i = 1; i < w.size(); ++i)
+    if (!is_vowel(w[i]) && is_vowel(w[i - 1])) return (int)i + 1;
+  return (int)w.size();
+}
+
+int region_after(const std::string& w, int start) {
+  for (size_t i = start + 1; i < w.size(); ++i)
+    if (!is_vowel(w[i]) && is_vowel(w[i - 1])) return (int)i + 1;
+  return (int)w.size();
+}
+
+bool ends_short_syllable(const std::string& w) {
+  size_t n = w.size();
+  if (n == 2) return is_vowel(w[0]) && !is_vowel(w[1]);
+  if (n >= 3) {
+    char c1 = w[n - 3], v = w[n - 2], c2 = w[n - 1];
+    return !is_vowel(c1) && is_vowel(v) && !is_vowel(c2) && c2 != 'w' &&
+           c2 != 'x' && c2 != 'Y';
+  }
+  return false;
+}
+
+bool contains_vowel(const std::string& w, size_t end) {
+  for (size_t i = 0; i < std::min(end, w.size()); ++i)
+    if (is_vowel(w[i])) return true;
+  return false;
+}
+
+std::string porter2(std::string word) {
+  for (auto& c : word) c = (char)std::tolower((unsigned char)c);
+  if (word.size() <= 2) return word;
+  if (word[0] == '\'') word.erase(0, 1);
+  auto it = exceptions().find(word);
+  if (it != exceptions().end()) return it->second;
+
+  if (word[0] == 'y') word[0] = 'Y';
+  for (size_t i = 1; i < word.size(); ++i)
+    if (word[i] == 'y' && is_vowel(word[i - 1])) word[i] = 'Y';
+
+  int r1 = r1_start(word);
+  int r2 = region_after(word, r1);
+
+  // Step 0
+  for (auto suf : {"'s'", "'s", "'"}) {
+    if (ends_with(word, suf)) {
+      word.resize(word.size() - std::strlen(suf));
+      break;
+    }
+  }
+
+  // Step 1a
+  if (ends_with(word, "sses")) {
+    word.resize(word.size() - 2);
+  } else if (ends_with(word, "ied") || ends_with(word, "ies")) {
+    word.resize(word.size() - 3);
+    word += (word.size() > 1) ? "i" : "ie";
+  } else if (ends_with(word, "us") || ends_with(word, "ss")) {
+    // no-op
+  } else if (ends_with(word, "s")) {
+    if (word.size() >= 2 && contains_vowel(word, word.size() - 2))
+      word.resize(word.size() - 1);
+  }
+
+  if (exceptions_post_1a().count(word)) return word;
+
+  // Step 1b
+  {
+    static const char* sufs[] = {"eedly", "ingly", "edly", "eed", "ing", "ed"};
+    for (auto suf : sufs) {
+      if (!ends_with(word, suf)) continue;
+      size_t sl = std::strlen(suf);
+      if (std::strcmp(suf, "eed") == 0 || std::strcmp(suf, "eedly") == 0) {
+        if ((int)(word.size() - sl) >= r1) {
+          word.resize(word.size() - sl);
+          word += "ee";
+        }
+      } else {
+        std::string stem = word.substr(0, word.size() - sl);
+        if (contains_vowel(stem, stem.size())) {
+          word = stem;
+          if (ends_with(word, "at") || ends_with(word, "bl") ||
+              ends_with(word, "iz")) {
+            word += "e";
+          } else if (ends_double(word)) {
+            word.resize(word.size() - 1);
+          } else if (r1 >= (int)word.size() && ends_short_syllable(word)) {
+            word += "e";
+          }
+        }
+      }
+      break;
+    }
+  }
+
+  // Step 1c
+  if (word.size() > 2 && (word.back() == 'y' || word.back() == 'Y') &&
+      !is_vowel(word[word.size() - 2]))
+    word.back() = 'i';
+
+  // Step 2 (longest match, in R1)
+  {
+    struct Rule { const char* suf; const char* rep; };
+    static const Rule rules[] = {
+        {"ization", "ize"}, {"ational", "ate"}, {"fulness", "ful"},
+        {"ousness", "ous"}, {"iveness", "ive"}, {"tional", "tion"},
+        {"biliti", "ble"},  {"lessli", "less"}, {"entli", "ent"},
+        {"ation", "ate"},   {"alism", "al"},    {"aliti", "al"},
+        {"ousli", "ous"},   {"iviti", "ive"},   {"fulli", "ful"},
+        {"enci", "ence"},   {"anci", "ance"},   {"abli", "able"},
+        {"izer", "ize"},    {"ator", "ate"},    {"alli", "al"},
+        {"bli", "ble"},     {"ogi", "og"},      {"li", ""},
+    };
+    for (auto& r : rules) {
+      if (!ends_with(word, r.suf)) continue;
+      size_t sl = std::strlen(r.suf);
+      if ((int)(word.size() - sl) >= r1) {
+        if (std::strcmp(r.suf, "ogi") == 0) {
+          if (ends_with(word, "logi")) word.resize(word.size() - 1);
+        } else if (std::strcmp(r.suf, "li") == 0) {
+          if (word.size() >= 3 &&
+              std::strchr("cdeghkmnrt", word[word.size() - 3]))
+            word.resize(word.size() - 2);
+        } else {
+          word.resize(word.size() - sl);
+          word += r.rep;
+        }
+      }
+      break;
+    }
+  }
+
+  // Step 3 (in R1; "ative" additionally needs R2)
+  {
+    struct Rule { const char* suf; const char* rep; };
+    static const Rule rules[] = {
+        {"ational", "ate"}, {"tional", "tion"}, {"alize", "al"},
+        {"icate", "ic"},    {"iciti", "ic"},    {"ative", ""},
+        {"ical", "ic"},     {"ness", ""},       {"ful", ""},
+    };
+    for (auto& r : rules) {
+      if (!ends_with(word, r.suf)) continue;
+      size_t sl = std::strlen(r.suf);
+      if ((int)(word.size() - sl) >= r1) {
+        if (std::strcmp(r.suf, "ative") == 0) {
+          if ((int)(word.size() - sl) >= r2) word.resize(word.size() - sl);
+        } else {
+          word.resize(word.size() - sl);
+          word += r.rep;
+        }
+      }
+      break;
+    }
+  }
+
+  // Step 4 (in R2; "ion" needs preceding s/t)
+  {
+    static const char* sufs[] = {"ement", "ance", "ence", "able", "ible",
+                                 "ment", "ant",  "ent",  "ism",  "ate",
+                                 "iti",  "ous",  "ive",  "ize",  "ion",
+                                 "al",   "er",   "ic"};
+    for (auto suf : sufs) {
+      if (!ends_with(word, suf)) continue;
+      size_t sl = std::strlen(suf);
+      if ((int)(word.size() - sl) >= r2) {
+        if (std::strcmp(suf, "ion") == 0) {
+          if (word.size() >= 4 &&
+              (word[word.size() - 4] == 's' || word[word.size() - 4] == 't'))
+            word.resize(word.size() - 3);
+        } else {
+          word.resize(word.size() - sl);
+        }
+      }
+      break;
+    }
+  }
+
+  // Step 5
+  if (!word.empty() && word.back() == 'e') {
+    if ((int)(word.size() - 1) >= r2) {
+      word.pop_back();
+    } else if ((int)(word.size() - 1) >= r1) {
+      std::string head = word.substr(0, word.size() - 1);
+      if (!ends_short_syllable(head)) word.pop_back();
+    }
+  } else if (!word.empty() && word.back() == 'l') {
+    if ((int)(word.size() - 1) >= r2 && word.size() >= 2 &&
+        word[word.size() - 2] == 'l')
+      word.pop_back();
+  }
+
+  for (auto& c : word)
+    if (c == 'Y') c = 'y';
+  return word;
+}
+
+// ----------------------------------------------------------------------
+// Tokenizer: lowercase, word tokens of length >= 2 (\w\w+ over ASCII plus
+// high-byte passthrough for UTF-8), Lucene English stopwords, Porter2.
+// Matches mfar_tpu/sparse/tokenize.py.
+// ----------------------------------------------------------------------
+
+inline bool is_word_char(unsigned char c) {
+  return std::isalnum(c) || c == '_' || c >= 0x80;
+}
+
+const std::unordered_set<std::string>& stopwords_en() {
+  static const std::unordered_set<std::string> s = {
+      "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+      "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+      "that", "the", "their", "then", "there", "these", "they", "this",
+      "to", "was", "will", "with"};
+  return s;
+}
+
+std::vector<std::string> tokenize(const std::string& text, bool stem) {
+  std::vector<std::string> out;
+  std::string cur;
+  auto flush = [&]() {
+    if (cur.size() >= 2 && !stopwords_en().count(cur))
+      out.push_back(stem ? porter2(cur) : cur);
+    cur.clear();
+  };
+  for (unsigned char c : text) {
+    if (is_word_char(c)) {
+      cur += (char)std::tolower(c);
+    } else {
+      flush();
+    }
+  }
+  flush();
+  return out;
+}
+
+// ----------------------------------------------------------------------
+// BM25 index: CSR impact matrix rows = terms (lucene variant).
+// ----------------------------------------------------------------------
+
+struct BM25 {
+  double k1 = 1.2, b = 0.75;
+  std::unordered_map<std::string, int32_t> vocab;
+  // CSR over terms: row t spans [indptr[t], indptr[t+1]) of (doc, impact)
+  std::vector<int64_t> indptr;
+  std::vector<int32_t> doc_ids;
+  std::vector<float> impacts;
+  int32_t n_docs = 0;
+};
+
+BM25* build(const char** texts, int32_t n_docs, double k1, double b) {
+  auto* idx = new BM25();
+  idx->k1 = k1;
+  idx->b = b;
+  idx->n_docs = n_docs;
+
+  std::vector<std::vector<std::pair<int32_t, float>>> doc_terms(n_docs);
+  std::vector<double> doc_lens(n_docs);
+  std::vector<int64_t> df;
+
+  for (int32_t d = 0; d < n_docs; ++d) {
+    auto tokens = tokenize(texts[d], /*stem=*/true);
+    doc_lens[d] = (double)tokens.size();
+    std::unordered_map<int32_t, int32_t> counts;
+    for (auto& t : tokens) {
+      auto [it, inserted] = idx->vocab.try_emplace(t, (int32_t)idx->vocab.size());
+      counts[it->second]++;
+    }
+    if ((size_t)df.size() < idx->vocab.size()) df.resize(idx->vocab.size(), 0);
+    auto& dt = doc_terms[d];
+    dt.reserve(counts.size());
+    for (auto& [tid, tf] : counts) {
+      dt.emplace_back(tid, (float)tf);
+      df[tid]++;
+    }
+  }
+
+  const int64_t v = (int64_t)idx->vocab.size();
+  double avgdl = 0;
+  for (auto l : doc_lens) avgdl += l;
+  avgdl = n_docs ? avgdl / n_docs : 0.0;
+
+  std::vector<double> idf(v);
+  for (int64_t t = 0; t < v; ++t)
+    idf[t] = std::log(1.0 + (n_docs - df[t] + 0.5) / (df[t] + 0.5));
+
+  // count entries per term, then fill CSR
+  std::vector<int64_t> counts_per_term(v, 0);
+  for (auto& dt : doc_terms)
+    for (auto& [tid, tf] : dt) counts_per_term[tid]++;
+  idx->indptr.assign(v + 1, 0);
+  for (int64_t t = 0; t < v; ++t)
+    idx->indptr[t + 1] = idx->indptr[t] + counts_per_term[t];
+  const int64_t nnz = idx->indptr[v];
+  idx->doc_ids.resize(nnz);
+  idx->impacts.resize(nnz);
+  std::vector<int64_t> cursor(idx->indptr.begin(), idx->indptr.end() - 1);
+  for (int32_t d = 0; d < n_docs; ++d) {
+    double denom_base = idx->k1 * (1.0 - idx->b + idx->b * doc_lens[d] / avgdl);
+    for (auto& [tid, tf] : doc_terms[d]) {
+      int64_t pos = cursor[tid]++;
+      idx->doc_ids[pos] = d;
+      idx->impacts[pos] = (float)(idf[tid] * (tf / (tf + denom_base)));
+    }
+  }
+  return idx;
+}
+
+void score_query(const BM25* idx, const char* query, float* out) {
+  std::memset(out, 0, sizeof(float) * idx->n_docs);
+  for (auto& tok : tokenize(query, /*stem=*/true)) {
+    auto it = idx->vocab.find(tok);
+    if (it == idx->vocab.end()) continue;
+    int32_t t = it->second;
+    for (int64_t p = idx->indptr[t]; p < idx->indptr[t + 1]; ++p)
+      out[idx->doc_ids[p]] += idx->impacts[p];
+  }
+}
+
+}  // namespace
+
+// ----------------------------------------------------------------------
+// C ABI
+// ----------------------------------------------------------------------
+
+extern "C" {
+
+void* mfar_bm25_build(const char** texts, int32_t n_docs, double k1, double b) {
+  return build(texts, n_docs, k1, b);
+}
+
+void mfar_bm25_free(void* handle) { delete static_cast<BM25*>(handle); }
+
+int32_t mfar_bm25_n_docs(void* handle) {
+  return static_cast<BM25*>(handle)->n_docs;
+}
+
+int64_t mfar_bm25_vocab_size(void* handle) {
+  return (int64_t)static_cast<BM25*>(handle)->vocab.size();
+}
+
+void mfar_bm25_score(void* handle, const char* query, float* out_scores) {
+  score_query(static_cast<BM25*>(handle), query, out_scores);
+}
+
+// top-k by score desc; ties by doc id asc (numpy argsort-stable order).
+void mfar_bm25_retrieve(void* handle, const char* query, int32_t k,
+                        int32_t* out_ids, float* out_scores) {
+  auto* idx = static_cast<BM25*>(handle);
+  std::vector<float> scores(idx->n_docs);
+  score_query(idx, query, scores.data());
+  std::vector<int32_t> order(idx->n_docs);
+  std::iota(order.begin(), order.end(), 0);
+  int32_t kk = std::min(k, idx->n_docs);
+  std::partial_sort(order.begin(), order.begin() + kk, order.end(),
+                    [&](int32_t a, int32_t b2) {
+                      if (scores[a] != scores[b2]) return scores[a] > scores[b2];
+                      return a < b2;
+                    });
+  for (int32_t i = 0; i < kk; ++i) {
+    out_ids[i] = order[i];
+    out_scores[i] = scores[order[i]];
+  }
+  for (int32_t i = kk; i < k; ++i) {
+    out_ids[i] = -1;
+    out_scores[i] = 0.f;
+  }
+}
+
+void mfar_bm25_score_batch(void* handle, const char** queries,
+                           int32_t n_queries, float* out_scores /* [q, n] */) {
+  auto* idx = static_cast<BM25*>(handle);
+  for (int32_t q = 0; q < n_queries; ++q)
+    score_query(idx, queries[q], out_scores + (int64_t)q * idx->n_docs);
+}
+
+// serialize: [n_docs, k1, b, vocab_size, nnz, vocab entries, indptr, doc_ids, impacts]
+int32_t mfar_bm25_save(void* handle, const char* path) {
+  auto* idx = static_cast<BM25*>(handle);
+  std::ofstream f(path, std::ios::binary);
+  if (!f) return -1;
+  int64_t v = (int64_t)idx->vocab.size();
+  int64_t nnz = (int64_t)idx->doc_ids.size();
+  f.write((char*)&idx->n_docs, 4);
+  f.write((char*)&idx->k1, 8);
+  f.write((char*)&idx->b, 8);
+  f.write((char*)&v, 8);
+  f.write((char*)&nnz, 8);
+  for (auto& [term, tid] : idx->vocab) {
+    int32_t len = (int32_t)term.size();
+    f.write((char*)&len, 4);
+    f.write(term.data(), len);
+    f.write((char*)&tid, 4);
+  }
+  f.write((char*)idx->indptr.data(), (v + 1) * 8);
+  f.write((char*)idx->doc_ids.data(), nnz * 4);
+  f.write((char*)idx->impacts.data(), nnz * 4);
+  return 0;
+}
+
+void* mfar_bm25_load(const char* path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) return nullptr;
+  auto* idx = new BM25();
+  int64_t v, nnz;
+  f.read((char*)&idx->n_docs, 4);
+  f.read((char*)&idx->k1, 8);
+  f.read((char*)&idx->b, 8);
+  f.read((char*)&v, 8);
+  f.read((char*)&nnz, 8);
+  idx->vocab.reserve(v);
+  for (int64_t i = 0; i < v; ++i) {
+    int32_t len, tid;
+    f.read((char*)&len, 4);
+    std::string term(len, '\0');
+    f.read(term.data(), len);
+    f.read((char*)&tid, 4);
+    idx->vocab.emplace(std::move(term), tid);
+  }
+  idx->indptr.resize(v + 1);
+  idx->doc_ids.resize(nnz);
+  idx->impacts.resize(nnz);
+  f.read((char*)idx->indptr.data(), (v + 1) * 8);
+  f.read((char*)idx->doc_ids.data(), nnz * 4);
+  f.read((char*)idx->impacts.data(), nnz * 4);
+  if (!f) {
+    delete idx;
+    return nullptr;
+  }
+  return idx;
+}
+
+// Stem one word into out (caller provides >= 64 bytes).
+void mfar_stem(const char* word, char* out, int32_t out_len) {
+  std::string s = porter2(word);
+  std::snprintf(out, out_len, "%s", s.c_str());
+}
+
+// Tokenize into a single '\n'-joined buffer; returns required length.
+int64_t mfar_tokenize(const char* text, char* out, int64_t out_len) {
+  auto toks = tokenize(text, /*stem=*/true);
+  std::string joined;
+  for (size_t i = 0; i < toks.size(); ++i) {
+    if (i) joined += '\n';
+    joined += toks[i];
+  }
+  if (out && out_len > (int64_t)joined.size())
+    std::memcpy(out, joined.c_str(), joined.size() + 1);
+  return (int64_t)joined.size() + 1;
+}
+
+}  // extern "C"

@@ -41,10 +41,11 @@ class BM25Index:
         self,
         keys: List[str],
         vocab: Vocabulary,
-        matrix: sp.csr_matrix,  # [vocab, n_docs] impact scores
+        matrix: Optional[sp.csr_matrix],  # [vocab, n_docs] impact scores
         k1: float = 1.2,
         b: float = 0.75,
         name: Optional[str] = None,
+        native=None,  # NativeBM25 backend (mfar_tpu.native)
     ):
         self.keys = keys
         self.key_to_id = {key: i for i, key in enumerate(keys)}
@@ -53,6 +54,7 @@ class BM25Index:
         self.k1 = k1
         self.b = b
         self.name = name
+        self.native = native
         self.safe_docs: Set[int] = set()
         self._score_cache: Dict[str, np.ndarray] = {}
 
@@ -67,9 +69,23 @@ class BM25Index:
         k1: float = 1.2,
         b: float = 0.75,
         name: Optional[str] = None,
+        backend: str = "auto",
     ) -> "BM25Index":
-        """Build from (key, text) pairs."""
+        """Build from (key, text) pairs.
+
+        ``backend``: 'native' (C++ engine, mfar_tpu/native), 'scipy', or
+        'auto' (native when the shared library is built).  Scores are
+        identical between backends (parity-tested)."""
         keys = [k for k, _ in pairs]
+        if backend == "auto":
+            from mfar_tpu import native as native_mod
+
+            backend = "native" if native_mod.available() else "scipy"
+        if backend == "native":
+            from mfar_tpu.native import NativeBM25
+
+            nat = NativeBM25.create([t for _, t in pairs], k1=k1, b=b)
+            return cls(keys, Vocabulary(), None, k1=k1, b=b, name=name, native=nat)
         n_docs = len(keys)
         vocab = Vocabulary()
 
@@ -120,6 +136,10 @@ class BM25Index:
             matrix = sp.csr_matrix((v, n_docs), dtype=np.float32)
         return cls(keys, vocab, matrix, k1=k1, b=b, name=name)
 
+    @property
+    def vocab_size(self) -> int:
+        return self.native.vocab_size if self.native is not None else len(self.vocab)
+
     # ------------------------------------------------------------------
     # Scoring
     # ------------------------------------------------------------------
@@ -136,8 +156,11 @@ class BM25Index:
         cached = self._score_cache.get(query)
         if cached is not None:
             return cached
-        token_ids = self.vocab.lookup(tokenize(query))
-        scores = self._score_tokens(token_ids)
+        if self.native is not None:
+            scores = self.native.get_scores(query)
+        else:
+            token_ids = self.vocab.lookup(tokenize(query))
+            scores = self._score_tokens(token_ids)
         if len(self._score_cache) >= _SCORE_CACHE_MAX:
             self._score_cache.clear()
         self._score_cache[query] = scores
@@ -212,7 +235,10 @@ class BM25Index:
 
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
-        sp.save_npz(os.path.join(path, "impacts.npz"), self.matrix)
+        if self.native is not None:
+            self.native.save(os.path.join(path, "native.bin"))
+        else:
+            sp.save_npz(os.path.join(path, "impacts.npz"), self.matrix)
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -221,15 +247,30 @@ class BM25Index:
                     "k1": self.k1,
                     "b": self.b,
                     "name": self.name,
+                    "backend": "native" if self.native is not None else "scipy",
                 },
                 f,
             )
 
     @classmethod
     def load(cls, path: str) -> "BM25Index":
-        matrix = sp.load_npz(os.path.join(path, "impacts.npz")).tocsr()
         with open(os.path.join(path, "meta.json")) as f:
             meta = json.load(f)
+        native = None
+        matrix = None
+        native_bin = os.path.join(path, "native.bin")
+        if os.path.exists(native_bin):
+            from mfar_tpu import native as native_mod
+
+            if native_mod.available():
+                native = native_mod.NativeBM25.load(native_bin)
+            else:
+                raise RuntimeError(
+                    f"{path} was saved by the native backend; build it with "
+                    "`make -C mfar_tpu/native` or re-create with backend='scipy'"
+                )
+        else:
+            matrix = sp.load_npz(os.path.join(path, "impacts.npz")).tocsr()
         return cls(
             meta["keys"],
             Vocabulary(meta["vocab"]),
@@ -237,4 +278,5 @@ class BM25Index:
             k1=meta["k1"],
             b=meta["b"],
             name=meta.get("name"),
+            native=native,
         )

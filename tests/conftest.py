@@ -23,6 +23,15 @@ jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
+# Build the native C++ library once per session if the toolchain is present;
+# native-dependent tests skip when the build is impossible.
+try:
+    from mfar_tpu.native import build_native_library
+
+    build_native_library()
+except Exception as _e:  # pragma: no cover
+    print(f"[conftest] native build unavailable: {_e}")
+
 
 @pytest.fixture(scope="session")
 def rng():

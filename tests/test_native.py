@@ -1,0 +1,98 @@
+"""Native C++ engine parity against the python/scipy implementations."""
+
+import numpy as np
+import pytest
+
+from mfar_tpu import native
+from mfar_tpu.sparse.bm25 import BM25Index
+from mfar_tpu.sparse.stemmer import porter2_stem
+from mfar_tpu.sparse.tokenize import tokenize
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library not built (make -C mfar_tpu/native)"
+)
+
+DOCS = [
+    ("d0", "the red shoe glows brightly at night"),
+    ("d1", "a blue lamp that glows in the dark"),
+    ("d2", "red lamp red shoe red clock"),
+    ("d3", "green table with a matching green chair; nationally rated!"),
+    ("d4", ""),
+    ("d5", "shoe shoe shoe shoe running easily generation"),
+]
+QUERIES = ["red shoe", "glows", "green chair table", "red red lamp",
+           "running generation", "zebra missing", ""]
+
+
+def test_stemmer_parity():
+    words = """running fairly easily generation national skies dying agreed
+    conflated troubling hopping happy relational generously communication
+    abilities absorption atomization consciousness libraries knitting
+    proceed exceed ties cries gas this gaps congeneric beautiful""".split()
+    for w in words:
+        assert native.native_stem(w) == porter2_stem(w), w
+
+
+def test_tokenizer_parity():
+    texts = [t for _, t in DOCS] + [
+        "Hello, World! это test_underscore 42 a7b",
+        "MixedCASE    punctuation...and---dashes",
+    ]
+    for t in texts:
+        assert native.native_tokenize(t) == list(tokenize(t)), t
+
+
+def test_scores_parity():
+    scipy_idx = BM25Index.create(DOCS, backend="scipy")
+    native_idx = BM25Index.create(DOCS, backend="native")
+    assert native_idx.native is not None
+    assert native_idx.vocab_size == scipy_idx.vocab_size
+    for q in QUERIES:
+        np.testing.assert_allclose(
+            native_idx.get_scores(q), scipy_idx.get_scores(q), rtol=1e-5, atol=1e-6, err_msg=q
+        )
+
+
+def test_retrieve_and_score_batch_parity():
+    scipy_idx = BM25Index.create(DOCS, backend="scipy")
+    native_idx = BM25Index.create(DOCS, backend="native")
+    hits_n = native_idx.retrieve_batch(["red shoe", "glows"], top_k=3)
+    hits_s = scipy_idx.retrieve_batch(["red shoe", "glows"], top_k=3)
+    for hn, hs in zip(hits_n, hits_s):
+        np.testing.assert_allclose(
+            sorted(s for _, s in hn), sorted(s for _, s in hs), rtol=1e-5
+        )
+    got = native_idx.score_batch(["red shoe"], ["d2", "nope", "d0"])
+    want = scipy_idx.score_batch(["red shoe"], ["d2", "nope", "d0"])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_native_save_load_roundtrip(tmp_path):
+    idx = BM25Index.create(DOCS, backend="native")
+    idx.save(str(tmp_path / "nidx"))
+    back = BM25Index.load(str(tmp_path / "nidx"))
+    assert back.native is not None
+    np.testing.assert_allclose(
+        back.get_scores("red shoe"), idx.get_scores("red shoe"), rtol=1e-6
+    )
+    assert back.keys == idx.keys
+
+
+def test_native_build_speed_sanity():
+    """Native indexing should comfortably beat pure python on a larger corpus."""
+    import time
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(2000)]
+    docs = [
+        (str(i), " ".join(rng.choice(vocab, size=60)))
+        for i in range(800)
+    ]
+    t0 = time.perf_counter()
+    BM25Index.create(docs, backend="native")
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    BM25Index.create(docs, backend="scipy")
+    t_scipy = time.perf_counter() - t0
+    print(f"native build {t_native*1000:.0f}ms vs python {t_scipy*1000:.0f}ms")
+    assert t_native < t_scipy
