@@ -35,11 +35,8 @@ def prepare_model(
     max_length: int = 512,
 ):
     """Returns (encoder_config, params, tokenizer)."""
-    if model_id.startswith("sentence-transformers/gtr-t5"):
-        raise NotImplementedError(
-            "GTR-T5 requires the T5 encoder family, which is not yet ported; "
-            "use facebook/contriever* or a local BERT-architecture checkpoint."
-        )
+    if "gtr-t5" in model_id or model_id.startswith("t5:"):
+        return _prepare_gtr(model_id, normalize=normalize, max_length=max_length)
 
     if model_id.startswith("synthetic"):
         parts = model_id.split(":")
@@ -59,4 +56,32 @@ def prepare_model(
         tokenizer = HFTokenizer.from_file(os.path.join(model_id, "tokenizer.json"), max_length)
     else:
         tokenizer = HFTokenizer.from_pretrained(tok_source, max_length)
+    return config, params, tokenizer
+
+
+def _prepare_gtr(model_id: str, normalize: bool, max_length: int):
+    """GTR-T5 via sentence-transformers: T5 encoder + mean pooling + dense
+    projection (+ Normalize, stripped unless ``normalize``) -- the module
+    stack the reference builds (reference: mfar/modeling/util.py:22-36)."""
+    import numpy as np
+
+    from mfar_tpu.models.t5_encoder import convert_hf_t5, t5_config_from_hf
+
+    from sentence_transformers import SentenceTransformer
+
+    st = SentenceTransformer(model_id)
+    t5 = st._first_module().auto_model
+    dense_mods = [m for m in st._modules.values() if type(m).__name__ == "Dense"]
+    projection_dim = None
+    if dense_mods:
+        projection_dim = dense_mods[0].linear.out_features
+    config = t5_config_from_hf(
+        t5.config, projection_dim=projection_dim, normalize=normalize
+    )
+    params = convert_hf_t5(t5.state_dict(), config)
+    if dense_mods:
+        params["projection"] = {
+            "kernel": np.asarray(dense_mods[0].linear.weight.detach().cpu().numpy().T)
+        }
+    tokenizer = HFTokenizer(st.tokenizer, max_length)
     return config, params, tokenizer

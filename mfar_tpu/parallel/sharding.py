@@ -29,6 +29,10 @@ _RULES: Tuple[Tuple[str, P], ...] = (
     (r".*mlp_in/kernel$", P(None, None, MODEL_AXIS)),
     (r".*mlp_in/bias$", P(None, MODEL_AXIS)),
     (r".*mlp_out/kernel$", P(None, MODEL_AXIS, None)),
+    # T5 family: gated/plain FFN kernels and the shared token embedding
+    (r".*/(wi|wi_0|wi_1)/kernel$", P(None, None, MODEL_AXIS)),
+    (r".*/wo/kernel$", P(None, MODEL_AXIS, None)),
+    (r".*token_embed/embedding$", P(MODEL_AXIS, None)),
     (r".*word_embeddings/embedding$", P(MODEL_AXIS, None)),
     # everything else (layernorms, biases of row-sharded layers, position
     # embeddings, mixer, batchnorm) replicates

@@ -17,7 +17,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from mfar_tpu.models.encoder import Encoder, EncoderConfig
+from mfar_tpu.models import build_encoder, encoder_dim
+from mfar_tpu.models.encoder import EncoderConfig
 from mfar_tpu.train.losses import hybrid_contrastive_loss
 
 
@@ -56,7 +57,7 @@ class FieldMixer(nn.Module):
 class MFARModel(nn.Module):
     """Encoder + mixer (+ field batchnorm) with a jit-able training loss."""
 
-    encoder_config: EncoderConfig
+    encoder_config: Any  # EncoderConfig (BERT) or T5Config (GTR)
     num_fields: int  # total fields: dense + sparse, dense first
     query_cond: bool = True
     use_batchnorm: bool = False
@@ -64,10 +65,10 @@ class MFARModel(nn.Module):
     reverse: bool = True
 
     def setup(self):
-        self.encoder = Encoder(self.encoder_config, name="encoder")
+        self.encoder = build_encoder(self.encoder_config, name="encoder")
         self.mixer = FieldMixer(
             self.num_fields,
-            self.encoder_config.hidden_size,
+            encoder_dim(self.encoder_config),
             self.query_cond,
             name="mixer",
         )
