@@ -1,0 +1,86 @@
+"""Encode the corpus into per-field dense index matrices on disk.
+
+The reference rebuilds corpus vectors inside every eval epoch and never
+persists them (reference: mfar/modeling/contrastive.py:465-496, SURVEY.md
+section 5.4).  This command materializes the ``[N, Fd, E]`` matrix once from
+a checkpoint (or pretrained encoder) so serving can start without
+re-encoding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+
+from mfar_tpu.commands.common import (
+    add_data_args,
+    corpus_texts_for_vocab,
+    load_corpus,
+    resolve_data_dirs,
+)
+from mfar_tpu.data.schema import resolve_fields
+from mfar_tpu.eval.index_build import build_dense_corpus_matrix, save_dense_matrix
+from mfar_tpu.models import build_encoder
+from mfar_tpu.models.registry import prepare_model
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_data_args(p)
+    p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--model-name", default="facebook/contriever-msmarco")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="restore encoder weights from a training run (best.txt)")
+    p.add_argument("--normalize", action="store_true")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--prefix", action="store_true")
+    args = p.parse_args(argv)
+    resolve_data_dirs(args)
+
+    field_info = resolve_fields(args.field_names, args.dataset_name)
+    dense_fields = {k: f for k, f in field_info.items() if f.is_dense}
+    corpus = load_corpus(args.corpus, args.dataset_name)
+    config, params, tokenizer = prepare_model(
+        args.model_name, normalize=args.normalize,
+        corpus_texts=corpus_texts_for_vocab(corpus, field_info),
+    )
+
+    if args.checkpoint_dir:
+        from mfar_tpu.train.checkpoint import (
+            CheckpointManager,
+            check_field_compatibility,
+            read_best_dir,
+        )
+        from mfar_tpu.train.model import MFARModel
+        from mfar_tpu.train.optim import make_optimizer
+        from mfar_tpu.train.train_step import init_state
+
+        model = MFARModel(encoder_config=config, num_fields=len(field_info))
+        opt = make_optimizer(encoder_lr=1e-4, weights_lr=1e-1)
+        state = init_state(model, opt, seed=0)
+        state = state._replace(params={**state.params, "encoder": jax.tree.map(jnp.asarray, params)})
+        best_dir = read_best_dir(args.checkpoint_dir)
+        check_field_compatibility(best_dir, field_info)
+        step = int(os.path.basename(best_dir.rstrip("/")))
+        state = CheckpointManager(args.checkpoint_dir).restore(step, state)
+        params = state.params["encoder"]
+
+    encoder = build_encoder(config)
+
+    @jax.jit
+    def encode(ids, mask):
+        return encoder.apply({"params": params}, ids, mask)
+
+    matrix = build_dense_corpus_matrix(
+        encode, tokenizer, corpus, dense_fields,
+        batch_size=args.batch_size, prefix=args.prefix,
+    )
+    save_dense_matrix(args.out, matrix, list(corpus.keys()))
+    print(f"Encoded {matrix.shape[0]} docs x {matrix.shape[1]} fields x {matrix.shape[2]} dims -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,11 @@ from mfar_tpu.data import trec
 from mfar_tpu.data.negative_sampler import IndexNegativeSampler
 from mfar_tpu.data.schema import resolve_fields
 from mfar_tpu.models.registry import prepare_model
-from mfar_tpu.train.checkpoint import CheckpointManager, read_best_dir
+from mfar_tpu.train.checkpoint import (
+    CheckpointManager,
+    check_field_compatibility,
+    read_best_dir,
+)
 from mfar_tpu.train.data_pipeline import ContrastiveDataset
 from mfar_tpu.train.model import MFARModel
 from mfar_tpu.train.optim import make_optimizer
@@ -88,6 +92,7 @@ def main(argv=None) -> None:
     # best.txt -> checkpoint step directory (reference:
     # mfar/commands/mask_fields.py:106-121)
     best_dir = read_best_dir(args.checkpoint_dir)
+    check_field_compatibility(best_dir, field_info)
     step = int(os.path.basename(best_dir.rstrip("/")))
     print(f"PATH IS: {best_dir}")
     ckpt = CheckpointManager(args.checkpoint_dir)

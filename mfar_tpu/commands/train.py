@@ -79,6 +79,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-one-iteration", action="store_true")
     p.add_argument("--use-batchnorm", action="store_true")
     p.add_argument("--recall-k", type=int, default=100)
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest checkpoint in --out (exact resume: "
+                   "params + optimizer + batchnorm + rng)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a JAX profiler trace of training into this dir")
     return p
 
 
@@ -203,8 +208,18 @@ def main(argv=None) -> None:
         logger=logger,
     )
 
+    start_epoch = 0
+    if args.resume and trainer.ckpt.latest_step() is not None:
+        latest = trainer.ckpt.latest_step()
+        state = trainer.ckpt.restore(latest, state)
+        start_epoch = latest + 1
+        print(f"Resumed from checkpoint {latest} (epoch {start_epoch})")
+
     print(f"Starting training: {time.strftime('%Y-%m-%d %H:%M:%S')}")
-    state = trainer.fit(state)
+    from mfar_tpu.utils.timing import jax_profile
+
+    with jax_profile(args.profile_dir):
+        state = trainer.fit(state, start_epoch=start_epoch)
 
     # Reload best checkpoint for the final test (reference:
     # mfar/commands/train.py:260 trainer.test(ckpt='best')).

@@ -129,6 +129,24 @@ class CheckpointManager:
         self._manager.close()
 
 
+def check_field_compatibility(step_dir: str, field_info: Dict[str, Field]) -> None:
+    """Fail fast with a readable message when the CLI's field selection does
+    not match what the checkpoint was trained with (the mixer's field axis
+    is positional)."""
+    meta_path = os.path.join(step_dir, "meta.json")
+    if not os.path.exists(meta_path):
+        return
+    with open(meta_path) as f:
+        meta = json.load(f)
+    trained = list(meta.get("field_info", {}).keys())
+    requested = list(field_info.keys())
+    if trained and trained != requested:
+        raise ValueError(
+            f"field selection mismatch: checkpoint {step_dir} was trained with "
+            f"fields {trained}, but --field-names resolved to {requested}"
+        )
+
+
 def read_best_dir(out_dir: str) -> str:
     """Resolve the best checkpoint directory from best.txt (the reference's
     reload path, mfar/commands/mask_fields.py:106-108)."""

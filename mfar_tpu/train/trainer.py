@@ -207,12 +207,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def fit(self, state: TrainState) -> TrainState:
+    def fit(self, state: TrainState, start_epoch: int = 0) -> TrainState:
         cfg = self.cfg
         best_monitor = float("inf")
         epochs_without_improvement = 0
 
-        for epoch in range(cfg.max_epochs):
+        for epoch in range(start_epoch, cfg.max_epochs):
             state, train_loss, mid_val = self.train_epoch(state, epoch)
             valid_loss = self.validate_proxy(state)
             metrics: Dict[str, float] = {"train_loss": train_loss, "valid_loss": valid_loss}
