@@ -60,6 +60,7 @@ class RetrievalEngine:
         query_max_length: int = 512,
         recall_k: int = 100,
         mask: Optional[np.ndarray] = None,  # [Ftot] field ablation mask
+        use_pallas_gather: bool = False,  # opt-in Pallas rerank (see ops/pallas_kernels.py)
     ):
         self.field_info = field_info
         self.doc_keys = list(doc_keys)
@@ -74,13 +75,27 @@ class RetrievalEngine:
         self.mask = mask
         self.n_docs = len(self.doc_keys)
 
+        # ONE HBM-resident corpus copy, in the fused-matmul layout.  Stage-2
+        # rerank gathers candidate rows from this same matrix (XLA gather);
+        # the optional Pallas DMA-gather path keeps a second, row-DMA-layout
+        # copy (rerank-heavy serving trade-off, see ops/pallas_kernels.py).
         self.docs_flat = None
+        self.docs_rows = None
         self.emb_dim = None
         if dense_matrix is not None and dense_matrix.size:
             n, fd, e = dense_matrix.shape
             self.emb_dim = e
             self.docs_flat = jnp.asarray(dense_matrix.reshape(n, fd * e))
-            self.dense_matrix = jnp.asarray(dense_matrix)
+            if use_pallas_gather:
+                if e % 128 == 0:  # kernel needs lane-aligned field segments
+                    from mfar_tpu.ops.pallas_kernels import make_row_dma_view
+
+                    self.docs_rows = make_row_dma_view(self.docs_flat)
+                else:
+                    print(
+                        f"[retrieval] pallas gather needs emb_dim % 128 == 0 "
+                        f"(got {e}); falling back to the XLA gather"
+                    )
 
     # ------------------------------------------------------------------
 
@@ -154,10 +169,22 @@ class RetrievalEngine:
             valid[i, : len(ids)] = True
 
         # stage 2: per-field scores for candidates
-        dense_scores = None
         if self.dense_keys and self.docs_flat is not None:
-            cand_docs = jnp.take(self.dense_matrix, jnp.asarray(cand), axis=0)  # [B, C, Fd, E]
-            dense_scores = per_field_candidate_scores(q.astype(jnp.float32), cand_docs.astype(jnp.float32))
+            fd = len(self.dense_keys)
+            cand_j = jnp.asarray(cand)
+            if self.docs_rows is not None:
+                from mfar_tpu.ops.pallas_kernels import gather_per_field_scores_pallas
+
+                dense_scores = gather_per_field_scores_pallas(
+                    q.astype(jnp.float32), self.docs_rows, cand_j.astype(jnp.int32), fd,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                rows = jnp.take(self.docs_flat, cand_j, axis=0)  # [B, C, Fd*E]
+                cand_docs = rows.reshape(b, width, fd, self.emb_dim)
+                dense_scores = per_field_candidate_scores(
+                    q.astype(jnp.float32), cand_docs.astype(jnp.float32)
+                )
         else:
             dense_scores = jnp.zeros((b, width, 0), jnp.float32)
 

@@ -7,12 +7,10 @@ mfar/modeling/util.py:16-71):
   torch checkpoint to our Flax encoder (requires the HF cache or a local
   download -- offline environments must pass a local directory);
 - a local directory containing a HF checkpoint;
-- ``synthetic[:vocab_size]``: deterministic random-init tiny encoder +
-  corpus-built tokenizer, for offline smoke runs (the reference has no
-  offline path; its --max_docs truncation plays this role).
-
-GTR-T5 (a T5 encoder) is not yet implemented in the Flax stack; requesting
-it raises with a clear message.
+- ``gtr-t5*`` / ``t5:*`` ids: the Flax T5 encoder family (t5_encoder.py);
+- ``synthetic[:vocab_size[:hidden_size]]``: deterministic random-init tiny
+  encoder + corpus-built tokenizer, for offline smoke runs (the reference
+  has no offline path; its --max_docs truncation plays this role).
 """
 
 from __future__ import annotations
@@ -43,7 +41,12 @@ def prepare_model(
         assert corpus_texts is not None, "synthetic model needs corpus_texts for its vocab"
         max_vocab = int(parts[1]) if len(parts) > 1 else 32768
         tokenizer = SimpleVocabTokenizer.build(corpus_texts, max_vocab=max_vocab, max_length=128)
-        config = EncoderConfig.tiny(vocab_size=tokenizer.vocab_size, normalize=normalize)
+        overrides = {}
+        if len(parts) > 2:  # synthetic:vocab:hidden -- TPU-shaped smoke runs
+            hidden = int(parts[2])
+            overrides = dict(hidden_size=hidden, intermediate_size=4 * hidden,
+                             num_heads=max(4, hidden // 64))
+        config = EncoderConfig.tiny(vocab_size=tokenizer.vocab_size, normalize=normalize, **overrides)
         params = init_params(config, seed=0)
         return config, params, tokenizer
 
