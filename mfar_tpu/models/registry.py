@@ -31,10 +31,23 @@ def prepare_model(
     corpus_texts: Optional[Sequence[str]] = None,
     dtype=jnp.bfloat16,
     max_length: int = 512,
+    with_decoder: bool = False,
 ):
-    """Returns (encoder_config, params, tokenizer)."""
+    """Returns (encoder_config, params, tokenizer)[, seq2seq].
+
+    ``with_decoder`` mirrors the reference's optional full-T5 graft for
+    GTR-T5 ids (reference: mfar/modeling/util.py:31-36): additionally
+    returns a (T5Seq2SeqConfig, params) bundle whose encoder is this
+    retriever encoder and whose decoder comes from the matching
+    ``google-t5/t5-{size}`` checkpoint.  See graft_t5_decoder.
+    """
     if "gtr-t5" in model_id or model_id.startswith("t5:"):
-        return _prepare_gtr(model_id, normalize=normalize, max_length=max_length)
+        out = _prepare_gtr(model_id, normalize=normalize, max_length=max_length)
+        if with_decoder:
+            return (*out, graft_t5_decoder(model_id, out[0], out[1]))
+        return out
+    if with_decoder:
+        raise ValueError(f"with_decoder is a GTR-T5 surface; got {model_id!r}")
 
     if model_id.startswith("synthetic"):
         parts = model_id.split(":")
@@ -88,3 +101,23 @@ def _prepare_gtr(model_id: str, normalize: bool, max_length: int):
         }
     tokenizer = HFTokenizer(st.tokenizer, max_length)
     return config, params, tokenizer
+
+
+def graft_t5_decoder(model_id: str, encoder_config, encoder_params):
+    """Graft the (trained) GTR encoder into the full T5 seq2seq stack.
+
+    Loads ``google-t5/t5-{size}`` for the decoder + LM head (reference:
+    mfar/modeling/util.py:31-34 derives the size from the GTR id suffix) and
+    returns (T5Seq2SeqConfig, params) for :class:`T5Seq2Seq`.
+    """
+    from transformers import T5ForConditionalGeneration
+
+    from mfar_tpu.models.t5_decoder import graft_encoder_into_seq2seq
+    from mfar_tpu.models.t5_encoder import t5_config_from_hf
+
+    t5_size = model_id.split("-")[-1]
+    full = T5ForConditionalGeneration.from_pretrained(f"google-t5/t5-{t5_size}")
+    decoder_config = t5_config_from_hf(full.config)
+    return graft_encoder_into_seq2seq(
+        encoder_params, full.state_dict(), encoder_config, decoder_config
+    )
