@@ -1,10 +1,10 @@
 """Deterministic synthetic corpus generation.
 
 Replaces the STaRK downloads in offline environments and tests (SURVEY.md
-section 4): a deterministic
-"amazon"-shaped semi-structured corpus whose queries are built from the title
-words of their gold documents, so lexical and dense retrieval both have
-learnable/retrievable signal.
+section 4): deterministic semi-structured corpora shaped like each supported
+schema (amazon / mag / prime / whatsthatbook), whose queries are built from
+distinguishing words of their gold documents, so lexical and dense retrieval
+both have learnable/retrievable signal.
 """
 
 from __future__ import annotations
@@ -51,6 +51,102 @@ def make_amazon_corpus(n_docs: int = 40, seed: int = 0) -> Corpus:
     return Corpus.from_pairs(docs, dataset_name="amazon")
 
 
+def make_mag_corpus(n_docs: int = 40, seed: int = 0) -> Corpus:
+    rng = np.random.default_rng(seed)
+    topics = "optics plasma graphene catalysis polymers neurons".split()
+    docs = []
+    for i in range(n_docs):
+        adj, noun = _ADJ[i % len(_ADJ)], _NOUN[(i // len(_ADJ)) % len(_NOUN)]
+        verb = _VERB[int(rng.integers(len(_VERB)))]
+        topic = topics[i % len(topics)]
+        payload = {
+            "type": "paper",
+            "title": f"{adj} {noun} systems study {i}",
+            "abstract": f"we show that a {adj} {noun} {verb} under {topic} conditions",
+            "paper___cites___paper": [f"{_ADJ[(i + 1) % len(_ADJ)]} {noun} systems study {i + 1}"],
+            "paper___has_topic___field_of_study": [topic, "materials"],
+            "author___affiliated_with___institution": {
+                f"author{i % 9}": [f"institute of {topic}"],
+            },
+        }
+        docs.append((str(i), payload))
+    return Corpus.from_pairs(docs, dataset_name="mag")
+
+
+def make_prime_corpus(n_docs: int = 40, seed: int = 0) -> Corpus:
+    rng = np.random.default_rng(seed)
+    kinds = ["gene/protein", "disease", "drug"]
+    docs = []
+    for i in range(n_docs):
+        adj, noun = _ADJ[i % len(_ADJ)], _NOUN[(i // len(_ADJ)) % len(_NOUN)]
+        verb = _VERB[int(rng.integers(len(_VERB)))]
+        payload = {
+            "name": f"{adj.upper()}{noun.upper()}{i}",
+            "type": kinds[i % len(kinds)],
+            "source": "synthdb",
+            "details": {"summary": f"a {adj} entity that {verb}", "count": i},
+            # relation fields are {group: [names]} dicts (STaRK grouping)
+            "interacts with": {"ppi": [f"{_ADJ[(i + 1) % len(_ADJ)].upper()}{noun.upper()}{i + 1}"]},
+            "associated with": {"disease_protein": [f"{adj} {noun} syndrome"]},
+            "indication": {"indication": [f"the {adj} {noun} condition"]},
+        }
+        docs.append((str(i), payload))
+    return Corpus.from_pairs(docs, dataset_name="prime")
+
+
+def make_wtb_corpus(n_docs: int = 40, seed: int = 0) -> Corpus:
+    rng = np.random.default_rng(seed)
+    genres = "mystery fantasy romance thriller history satire".split()
+    docs = []
+    for i in range(n_docs):
+        adj, noun = _ADJ[i % len(_ADJ)], _NOUN[(i // len(_ADJ)) % len(_NOUN)]
+        verb = _VERB[int(rng.integers(len(_VERB)))]
+        payload = {
+            "id": str(i),
+            "title": f"the {adj} {noun}",
+            "author": f"author {i % 9}",
+            "author_url": f"https://books.example/a{i % 9}",
+            "description": f"a story where the {adj} {noun} {verb} at midnight",
+            "genres": [genres[i % len(genres)]],
+            "parsed_dates": [f"19{50 + i % 50}"],
+            "num_ratings": int(rng.integers(1, 5000)),
+            "num_reviews": int(rng.integers(1, 500)),
+            "image_link": f"https://books.example/cover{i}.jpg",
+            "isbn_13": f"978{i:010d}",
+            "ratings": int(rng.integers(1, 6)),
+            "reviews": f"readers say it {verb}",
+        }
+        docs.append((str(i), payload))
+    return Corpus.from_pairs(docs, dataset_name="whatsthatbook")
+
+
+_CORPUS_MAKERS = {
+    "amazon": make_amazon_corpus,
+    "mag": make_mag_corpus,
+    "prime": make_prime_corpus,
+    "whatsthatbook": make_wtb_corpus,
+}
+
+
+def make_corpus(dataset_name: str, n_docs: int = 40, seed: int = 0) -> Corpus:
+    return _CORPUS_MAKERS[dataset_name](n_docs=n_docs, seed=seed)
+
+
+def _query_for(doc) -> str:
+    """A query lexically anchored to its gold document, per schema."""
+    raw = doc.raw
+    if "title" in raw and "brand" in raw:  # amazon
+        title, verb = raw["title"], raw["description"][0].split(" ")[-1]
+        return f"which {title.split()[1]} {verb} and is {title.split()[0]}"
+    if raw.get("type") == "paper":  # mag
+        words = raw["abstract"].split()
+        return f"paper about a {words[4]} {words[5]} in {words[-2]}"
+    if "details" in raw:  # prime
+        return f"what {raw['type']} is named {raw['name']} and {raw['details']['summary'].split()[-1]}"
+    title, verb = raw["title"], raw["description"].split(" ")[-3]  # wtb
+    return f"book where {title.split()[-1]} {verb}"
+
+
 def make_queries_and_qrels(
     corpus: Corpus, n_queries: int = 16, seed: int = 1
 ) -> Tuple[Dict[str, str], List[trec.QRels]]:
@@ -60,10 +156,8 @@ def make_queries_and_qrels(
     doc_ids = rng.permutation(len(corpus))[:n_queries]
     for qi, di in enumerate(doc_ids):
         doc = corpus.docs[int(di)]
-        title = doc.raw["title"]
-        verb = doc.raw["description"][0].split(" ")[-1]
         qid = str(1000 + qi)
-        queries[qid] = f"which {title.split()[1]} {verb} and is {title.split()[0]}"
+        queries[qid] = _query_for(doc)
         qrels.append(trec.QRels(qid, doc.id, 1.0))
     return queries, qrels
 
