@@ -3,12 +3,18 @@
 The flagship serving op -- what the reference does with per-field CPU torch
 matmuls over memmap chunks + python rerank (reference:
 mfar/data/index.py:181-232, mfar/modeling/contrastive.py:669-704) -- run as
-one folded [B, F*E] x [F*E, N] bf16 MXU matmul feeding the TPU-optimized
-partial-reduce top-k (``lax.approx_max_k``, recall>=0.95 -- the recall stage
-of retrieval; the reference's own eval is likewise a top-100 recall stage).
+folded [B, F*E] x [F*E, chunk] bf16 MXU matmuls with a fused running top-k
+(``mfar_tpu.ops.scoring.dense_topk_chunked_approx``: lax.approx_max_k per
+chunk, recall>=0.95, exact merge).  Chunking keeps only [B, chunk] scores
+alive instead of the full [B, N] f32 matrix.
+
+Methodology: all Q query batches run inside ONE jitted lax.scan and the
+timed region ends with a single scalar host fetch, so the TPU-tunnel
+round-trip (~35 ms on this rig) is paid once per measurement, not per
+batch.  See BENCH_NOTES.md.
 
 Baseline: the reference's algorithm (torch CPU matmul + topk) measured on
-this host over a corpus slice and scaled linearly in N.  See BENCH_NOTES.md.
+this host over a corpus slice and scaled linearly in N.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,11 +25,14 @@ import json
 import sys
 import time
 
-B = 256  # query batch (serving)
+B = 256  # query batch (serving sweet spot: past this, the live index
+#          output of the PartialReduce top-k halves throughput)
+Q = 40  # batches per timed program
 F = 5  # dense fields (mag all_dense)
 E = 768  # contriever dim
 K = 100  # retrieval depth
 N = 1_048_576  # corpus size
+CHUNK = 524288
 N_BASE = 50_000  # baseline slice (scaled linearly)
 
 
@@ -31,27 +40,28 @@ def tpu_qps() -> float:
     import jax
     import jax.numpy as jnp
 
-    kd = jax.random.PRNGKey(0)
-    docs = jax.random.normal(kd, (N, F * E), jnp.bfloat16)
-    queries = [
-        jax.random.normal(jax.random.PRNGKey(i + 1), (B, F * E), jnp.bfloat16)
-        for i in range(10)
-    ]
+    from mfar_tpu.ops.scoring import dense_topk_chunked_approx
+
+    docs = jax.random.normal(jax.random.PRNGKey(0), (N, F * E), jnp.bfloat16)
+    qs = jax.random.normal(jax.random.PRNGKey(1), (Q, B, F * E), jnp.bfloat16)
 
     @jax.jit
-    def run(q, d):
-        s = jnp.dot(q, d.T, preferred_element_type=jnp.float32)
-        return jax.lax.approx_max_k(s, K, recall_target=0.95)
+    def run_all(qs, d):
+        def step(_, q):
+            s, i = dense_topk_chunked_approx(
+                q, d, jnp.int32(N), k=K, chunk_size=CHUNK
+            )
+            return None, s[:, 0].sum() + i[:, 0].max().astype(jnp.float32)
+        _, outs = jax.lax.scan(step, None, qs)
+        return outs.sum()
 
-    # compile + warm
-    out = run(queries[0], docs)
-    _ = float(out[0][0, 0])  # host fetch forces completion (relay-safe)
-
-    t0 = time.perf_counter()
-    outs = [run(q, docs) for q in queries]
-    _ = sum(float(o[0][0, 0]) for o in outs)  # drain
-    dt = time.perf_counter() - t0
-    return B * len(queries) / dt
+    float(run_all(qs, docs))  # compile + warm (host fetch = relay-safe sync)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_all(qs, docs))
+        times.append(time.perf_counter() - t0)
+    return Q * B / min(times)
 
 
 def baseline_qps() -> float:

@@ -32,6 +32,7 @@ from mfar_tpu.data.schema import dense_keys, sparse_keys
 from mfar_tpu.data.types import Field
 from mfar_tpu.ops.scoring import (
     dense_topk_chunked,
+    dense_topk_chunked_approx,
     fold_queries,
     per_field_candidate_scores,
     rerank_candidates,
@@ -134,13 +135,15 @@ class RetrievalEngine:
         cand_sets: List[set] = [set() for _ in range(b)]
 
         # stage 1a: dense per-field recall -- all fields in ONE corpus pass
-        # by folding one-hot field selectors into the queries.
+        # by folding one-hot field selectors into the queries.  This is a
+        # recall stage (the reference's own eval approximates with per-field
+        # top-100 unions), so the PartialReduce top-k (recall>=0.95) applies.
         if self.dense_keys and self.docs_flat is not None:
             fd = len(self.dense_keys)
             eye = jnp.eye(fd, dtype=q.dtype)
             onehot_q = jnp.einsum("fg,be->bfge", eye, q).reshape(b * fd, fd * self.emb_dim)
             k = min(self.recall_k, self.n_docs)
-            _, idx = dense_topk_chunked(
+            _, idx = dense_topk_chunked_approx(
                 onehot_q.astype(self.docs_flat.dtype),
                 self.docs_flat,
                 jnp.int32(self.n_docs),

@@ -139,3 +139,26 @@ def test_bf16_docs_fp32_accumulation(data):
     np.testing.assert_allclose(
         np.asarray(got16), naive_scores(q, docs, W), rtol=0.05, atol=0.05
     )
+
+
+def test_chunked_approx_topk(data):
+    """On CPU lax.approx_max_k is exact, so the chunked-approx serving op
+    must reproduce the exact top-k (padding masked, indices global)."""
+    from mfar_tpu.ops.scoring import dense_topk_chunked_approx
+
+    q, docs, W = data
+    weights = softmax_field_weights(W, q)
+    qflat = fold_queries(q, weights)
+    docs_pad = jnp.pad(docs.reshape(N, F * E), ((0, 40 - N), (0, 0)))
+    k = 5
+    top_s, top_i = dense_topk_chunked_approx(
+        qflat, docs_pad, jnp.int32(N), k=k, chunk_size=8
+    )
+    full = naive_scores(q, docs, W)
+    want_i = np.argsort(-full, axis=1)[:, :k]
+    want_s = np.take_along_axis(full, want_i, axis=1)
+    np.testing.assert_allclose(np.asarray(top_s), want_s, rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(top_i), want_i)
+    # single-chunk fallback path
+    s1, i1 = dense_topk_chunked_approx(qflat, docs_pad, jnp.int32(N), k=k, chunk_size=64)
+    np.testing.assert_allclose(np.asarray(s1), want_s, rtol=2e-5, atol=1e-5)
