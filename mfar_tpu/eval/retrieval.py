@@ -46,6 +46,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Corpus chunk for the streaming top-k scans; docs_flat is padded once at
+# engine build to a multiple of this (the ops mask padding via valid_n).
+TOPK_CHUNK = 131072
+
+
 class RetrievalEngine:
     """Holds the hybrid index + scoring params and answers query batches."""
 
@@ -86,7 +91,10 @@ class RetrievalEngine:
         if dense_matrix is not None and dense_matrix.size:
             n, fd, e = dense_matrix.shape
             self.emb_dim = e
-            self.docs_flat = jnp.asarray(dense_matrix.reshape(n, fd * e))
+            flat = dense_matrix.reshape(n, fd * e)
+            if n > TOPK_CHUNK and n % TOPK_CHUNK:  # pad for the chunked scans
+                flat = np.pad(flat, ((0, _round_up(n, TOPK_CHUNK) - n), (0, 0)))
+            self.docs_flat = jnp.asarray(flat)
             if use_pallas_gather:
                 if e % 128 == 0:  # kernel needs lane-aligned field segments
                     from mfar_tpu.ops.pallas_kernels import make_row_dma_view
@@ -124,7 +132,8 @@ class RetrievalEngine:
         weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
         qflat = fold_queries(q, weights).astype(self.docs_flat.dtype)
         top_s, top_i = dense_topk_chunked(
-            qflat, self.docs_flat, jnp.int32(self.n_docs), k=min(top_k, self.n_docs)
+            qflat, self.docs_flat, jnp.int32(self.n_docs),
+            k=min(top_k, self.n_docs), chunk_size=TOPK_CHUNK,
         )
         return self._to_keyed(np.asarray(top_s), np.asarray(top_i))
 
@@ -148,6 +157,7 @@ class RetrievalEngine:
                 self.docs_flat,
                 jnp.int32(self.n_docs),
                 k=k,
+                chunk_size=TOPK_CHUNK,
             )
             idx = np.asarray(idx).reshape(b, fd, k)
             for i in range(b):

@@ -189,3 +189,32 @@ def test_to_qres(world, engine):
     qres = eng.to_qres(list(queries.keys()), results)
     assert len(qres) == 12
     assert qres[0].query_id == list(queries.keys())[0]
+
+
+def test_engine_pads_corpus_to_chunk_multiple(monkeypatch):
+    """Corpora above one top-k chunk that aren't chunk multiples are padded
+    at engine build (the ops mask padding via valid_n)."""
+    import mfar_tpu.eval.retrieval as R
+
+    monkeypatch.setattr(R, "TOPK_CHUNK", 16)
+    rng = np.random.default_rng(0)
+    n, fd, e = 37, 2, 8
+    matrix = rng.normal(size=(n, fd, e)).astype(np.float32)
+    q_emb = jnp.asarray(rng.normal(size=(3, e)), jnp.float32)
+    field_info = resolve_fields("title_dense,description_dense", "amazon")
+    eng = R.RetrievalEngine(
+        field_info=field_info,
+        doc_keys=[str(i) for i in range(n)],
+        encode_fn=lambda ids, mask: q_emb,
+        tokenizer=None,
+        mixer_params={"weight": jnp.ones((1, fd), jnp.float32)},
+        dense_matrix=matrix,
+    )
+    assert eng.docs_flat.shape[0] == 48 and eng.n_docs == n
+    eng.encode_queries = lambda queries: q_emb  # bypass tokenizer
+    res = eng.retrieve(["a", "b", "c"], top_k=5)
+    naive = np.einsum("be,nfe->bn", np.asarray(q_emb), matrix) / fd
+    for b, hits in enumerate(res):
+        assert len(hits) == 5
+        want = np.argsort(-naive[b])[:5]
+        assert [int(k) for k, _ in hits] == list(want)
