@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-from mfar_tpu.ops.scoring import _pad_topk, dense_topk_chunked
+from mfar_tpu.ops.scoring import _pad_topk, dense_topk_chunked, dense_topk_chunked_approx
 from mfar_tpu.parallel.mesh import DATA_AXIS
 
 
@@ -33,6 +33,7 @@ def distributed_dense_topk(
     valid_n: int,  # real rows (padding beyond scores -inf)
     k: int,
     chunk_size: int = 131072,
+    approx: bool = False,  # PartialReduce local top-k (recall stage)
 ) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
     n = docs_flat.shape[0]
     n_shards = mesh.shape[DATA_AXIS]
@@ -42,6 +43,7 @@ def distributed_dense_topk(
     chunk_size = min(chunk_size, shard_n)
     if chunk_size < local_k or shard_n % chunk_size != 0:
         chunk_size = shard_n
+    local_op = dense_topk_chunked_approx if approx else dense_topk_chunked
 
     @partial(
         jax.shard_map,
@@ -53,7 +55,7 @@ def distributed_dense_topk(
         shard_id = jax.lax.axis_index(DATA_AXIS)
         offset = (shard_id * shard_n).astype(jnp.int32)
         local_valid = jnp.clip(valid_n - offset, 0, shard_n)
-        loc_s, loc_i = dense_topk_chunked(
+        loc_s, loc_i = local_op(
             q, docs, local_valid, k=local_k, chunk_size=chunk_size
         )
         return loc_s, loc_i + offset

@@ -90,3 +90,20 @@ def test_candidate_scores_cross_shard_ids(mesh, data):
     )
     want = np.einsum("be,bcfe->bcf", q, docs[cand])
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-5)
+
+
+def test_distributed_topk_approx_mode(mesh, data):
+    """approx=True routes the local stage through the PartialReduce op,
+    which is exact on CPU -- results must match the exact mode."""
+    q, docs, W, docs_flat_sharded, _, valid_n = data
+    weights = softmax_field_weights(jnp.asarray(W), jnp.asarray(q))
+    qflat = fold_queries(jnp.asarray(q), weights)
+    k = 7
+    s_ex, i_ex = distributed_dense_topk(
+        mesh, qflat, docs_flat_sharded, valid_n, k=k, chunk_size=8
+    )
+    s_ap, i_ap = distributed_dense_topk(
+        mesh, qflat, docs_flat_sharded, valid_n, k=k, chunk_size=8, approx=True
+    )
+    np.testing.assert_allclose(np.asarray(s_ap), np.asarray(s_ex), rtol=2e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_ap), np.asarray(i_ex))
