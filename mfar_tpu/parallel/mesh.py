@@ -1,38 +1,75 @@
 """Device mesh construction and corpus sharding.
 
 One ``jax.sharding.Mesh`` replaces the reference's entire NCCL/DDP plumbing
-(SURVEY.md section 2.2): axis ``data`` shards the corpus (index rows) and the
-train batch; axis ``model`` shards encoder parameters (tensor parallelism --
-the reference has none).  All collectives are XLA-compiled over ICI.
+(SURVEY.md section 2.2): axis ``replica`` spans slices (collectives ride
+DCN), axis ``data`` shards the corpus (index rows) and the train batch
+within a slice (ICI), axis ``model`` shards encoder parameters (tensor
+parallelism -- the reference has none).  Collectives are XLA-compiled; the
+layout keeps the heavy traffic (in-batch negative all-gathers, corpus
+scans) on ICI and only the tiny [B, k] candidate merges / gradient
+all-reduce cross slices.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-DATA_AXIS = "data"
-MODEL_AXIS = "model"
+REPLICA_AXIS = "replica"  # cross-slice (DCN) data parallelism
+DATA_AXIS = "data"  # within-slice (ICI) data parallelism / corpus rows
+MODEL_AXIS = "model"  # tensor parallelism
+
+# The batch / corpus-row sharding axes, outer-to-inner.
+BATCH_AXES = (REPLICA_AXIS, DATA_AXIS)
 
 
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
+    n_replica: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Mesh with ('data', 'model') axes.  Defaults to all devices on the
-    data axis."""
+    """Mesh with ('replica', 'data', 'model') axes.  Defaults to all devices
+    on the data axis (replica and model singleton).
+
+    For real multi-slice topologies, device order matters: devices are
+    grouped so that the replica axis changes slowest, which matches
+    ``mesh_utils.create_hybrid_device_mesh``'s slice-major ordering when
+    devices arrive sorted by slice_index (jax.devices() guarantees this).
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    assert n_data * n_model == len(devices), (
-        f"mesh {n_data}x{n_model} != {len(devices)} devices"
+        n_data = len(devices) // (n_model * n_replica)
+    assert n_replica * n_data * n_model == len(devices), (
+        f"mesh {n_replica}x{n_data}x{n_model} != {len(devices)} devices"
     )
-    arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    if n_replica > 1 and getattr(devices[0], "slice_index", None) is not None:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (n_data, n_model), (n_replica, 1), devices=devices
+        ).reshape(n_replica, n_data, n_model)
+    else:
+        arr = np.asarray(devices).reshape(n_replica, n_data, n_model)
+    return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def batch_axes(mesh: Mesh) -> Union[str, Tuple[str, ...]]:
+    """The axes the train batch / corpus shards over: ('replica', 'data')
+    when the mesh has a real replica axis, else just 'data'."""
+    if REPLICA_AXIS in mesh.shape and mesh.shape[REPLICA_AXIS] > 1:
+        return BATCH_AXES
+    return DATA_AXIS
+
+
+def n_batch_shards(mesh: Mesh) -> int:
+    ax = batch_axes(mesh)
+    if isinstance(ax, str):
+        return mesh.shape[ax]
+    return int(np.prod([mesh.shape[a] for a in ax]))
 
 
 def pad_rows(x: np.ndarray, multiple: int) -> Tuple[np.ndarray, int]:
@@ -51,11 +88,19 @@ def shard_array(mesh: Mesh, x, spec: P) -> jax.Array:
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 
-def corpus_sharding(mesh: Mesh) -> P:
-    """Corpus embedding matrices shard on rows over the data axis and stay
-    HBM-resident -- replacing the reference's temp-dir memmaps as the
-    'vector store' (reference: mfar/data/util.py:28-59)."""
-    return P(DATA_AXIS)
+def corpus_sharding(mesh: Mesh, replicate_across_slices: bool = False) -> P:
+    """Corpus embedding matrices shard on rows and stay HBM-resident --
+    replacing the reference's temp-dir memmaps as the 'vector store'
+    (reference: mfar/data/util.py:28-59).
+
+    Default shards rows over every batch axis (a corpus bigger than one
+    slice spans slices; only [B, k] merges ride DCN).  Pass
+    ``replicate_across_slices=True`` to keep a full copy per slice instead
+    (higher QPS per query batch when the corpus fits in one slice).
+    """
+    if replicate_across_slices:
+        return P(DATA_AXIS)
+    return P(batch_axes(mesh))
 
 
 def replicated(mesh: Mesh) -> P:

@@ -16,14 +16,23 @@ The TPU equivalents of the reference's eval data flow (SURVEY.md section
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from mfar_tpu.ops.scoring import _pad_topk, dense_topk_chunked, dense_topk_chunked_approx
 from mfar_tpu.parallel.mesh import DATA_AXIS
+
+AxisSpec = Union[str, Tuple[str, ...]]
+
+
+def _axis_size(mesh, axis: AxisSpec) -> int:
+    if isinstance(axis, str):
+        return mesh.shape[axis]
+    return int(np.prod([mesh.shape[a] for a in axis]))
 
 
 def distributed_dense_topk(
@@ -34,9 +43,10 @@ def distributed_dense_topk(
     k: int,
     chunk_size: int = 131072,
     approx: bool = False,  # PartialReduce local top-k (recall stage)
+    axis: AxisSpec = DATA_AXIS,  # e.g. ('replica', 'data') for multi-slice
 ) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
     n = docs_flat.shape[0]
-    n_shards = mesh.shape[DATA_AXIS]
+    n_shards = _axis_size(mesh, axis)
     shard_n = n // n_shards
     local_k = min(k, shard_n)
     # Per-shard chunking must divide the shard and hold the top-k carry.
@@ -48,11 +58,11 @@ def distributed_dense_topk(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
-        out_specs=(P(None, DATA_AXIS), P(None, DATA_AXIS)),
+        in_specs=(P(), P(axis)),
+        out_specs=(P(None, axis), P(None, axis)),
     )
     def _local_topk(q, docs):
-        shard_id = jax.lax.axis_index(DATA_AXIS)
+        shard_id = jax.lax.axis_index(axis)
         offset = (shard_id * shard_n).astype(jnp.int32)
         local_valid = jnp.clip(valid_n - offset, 0, shard_n)
         loc_s, loc_i = local_op(
@@ -79,23 +89,24 @@ def distributed_candidate_scores(
     q: jax.Array,  # [B, E] (replicated)
     docs: jax.Array,  # [N, F, E] sharded P('data') on rows
     cand_ids: jax.Array,  # [B, C] global row ids (replicated); -1 = padding
+    axis: AxisSpec = DATA_AXIS,
 ) -> jax.Array:  # [B, C, F] per-field dense scores
     """Each shard gathers only the candidates that live in its slice and
     contributes their scores; a psum over ICI yields the full tensor.
     Avoids a cross-shard gather of embedding rows (only the [B, C, F] score
     tensor rides the interconnect)."""
     n = docs.shape[0]
-    n_shards = mesh.shape[DATA_AXIS]
+    n_shards = _axis_size(mesh, axis)
     shard_n = n // n_shards
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P()),
+        in_specs=(P(), P(axis), P()),
         out_specs=P(),
     )
     def _run(q_, docs_, ids_):
-        shard_id = jax.lax.axis_index(DATA_AXIS)
+        shard_id = jax.lax.axis_index(axis)
         offset = (shard_id * shard_n).astype(ids_.dtype)
         local = ids_ - offset
         mine = (local >= 0) & (local < shard_n)
@@ -105,12 +116,12 @@ def distributed_candidate_scores(
             "be,bcfe->bcf", q_, gathered, preferred_element_type=jnp.float32
         )
         scores = jnp.where(mine[..., None], scores, 0.0)
-        return jax.lax.psum(scores, DATA_AXIS)
+        return jax.lax.psum(scores, axis)
 
     return _run(q, docs, cand_ids)
 
 
 def shard_info(mesh, n: int) -> Tuple[int, int]:
-    n_shards = mesh.shape[DATA_AXIS]
+    n_shards = _axis_size(mesh, DATA_AXIS)
     assert n % n_shards == 0
     return n_shards, n // n_shards

@@ -107,3 +107,40 @@ def test_distributed_topk_approx_mode(mesh, data):
     )
     np.testing.assert_allclose(np.asarray(s_ap), np.asarray(s_ex), rtol=2e-5, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_ap), np.asarray(i_ex))
+
+
+def test_multislice_mesh_topk():
+    """Corpus sharded over ('replica', 'data') -- the multi-slice layout
+    where only [B, k] merges cross slices -- matches the exact result."""
+    from mfar_tpu.parallel.mesh import batch_axes, corpus_sharding, n_batch_shards
+
+    mesh = make_mesh(n_data=2, n_model=2, n_replica=2, devices=jax.devices()[:8])
+    assert batch_axes(mesh) == ("replica", "data") and n_batch_shards(mesh) == 4
+    rng = np.random.default_rng(1)
+    q = rng.normal(size=(B, E)).astype(np.float32)
+    docs = rng.normal(size=(N, F, E)).astype(np.float32)
+    W = rng.normal(size=(E, F)).astype(np.float32)
+    docs_flat, valid_n = pad_rows(docs.reshape(N, F * E), 4 * 4)
+    sharded = shard_array(mesh, docs_flat, corpus_sharding(mesh))
+    weights = softmax_field_weights(jnp.asarray(W), jnp.asarray(q))
+    qflat = fold_queries(jnp.asarray(q), weights)
+    k = 7
+    top_s, top_i = distributed_dense_topk(
+        mesh, qflat, sharded, valid_n, k=k, chunk_size=8, axis=("replica", "data")
+    )
+    full = np.einsum("bnf,bf->bn", np.einsum("be,nfe->bnf", q, docs), np.asarray(weights))
+    want_i = np.argsort(-full, axis=1)[:, :k]
+    np.testing.assert_allclose(
+        np.asarray(top_s), np.take_along_axis(full, want_i, 1), rtol=2e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(top_i), want_i)
+
+    # rerank-stage owner-computes scoring over the same layout
+    docs_pad, _ = pad_rows(docs, 4 * 4)
+    docs_sh = shard_array(mesh, docs_pad, corpus_sharding(mesh))
+    cand = jnp.asarray(want_i, jnp.int32)
+    got = distributed_candidate_scores(
+        mesh, jnp.asarray(q), docs_sh, cand, axis=("replica", "data")
+    )
+    want = np.einsum("be,bcfe->bcf", q, docs[want_i])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-5)
