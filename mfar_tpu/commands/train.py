@@ -16,6 +16,7 @@ Example (smoke):
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import time
@@ -78,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefix", action="store_true")
     p.add_argument("--run-one-iteration", action="store_true")
     p.add_argument("--use-batchnorm", action="store_true")
+    p.add_argument("--remat", default="auto", choices=["auto", "on", "off"],
+                   help="rematerialize encoder layers (auto: on for >=8-layer "
+                        "encoders; the 1+2F encoder passes per step OOM at "
+                        "contriever scale without it)")
     p.add_argument("--recall-k", type=int, default=100)
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in --out (exact resume: "
@@ -125,6 +130,14 @@ def main(argv=None) -> None:
         normalize=args.normalize,
         corpus_texts=corpus_texts_for_vocab(corpus, field_info),
     )
+    # Rematerialize encoder layers for full-size models: the train step runs
+    # 1 + 2*|dense fields| encoder passes, whose un-remat activations blow
+    # HBM at contriever scale (measured: 88 GB demanded on a 16 GB chip for
+    # mag all_dense at B=24).  The reference can't do this at all
+    # (gradient checkpointing explicitly unsupported, README.md:151).
+    remat = {"auto": config.num_layers >= 8, "on": True, "off": False}[args.remat]
+    if remat != config.remat:
+        config = dataclasses.replace(config, remat=remat)
 
     sparse_indices = load_or_build_sparse_indices(corpus, field_info, args.lexical_index)
     neg_index = load_negative_sampler_index(corpus, args.lexical_index, args.dataset_name)

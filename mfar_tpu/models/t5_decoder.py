@@ -139,8 +139,11 @@ class T5Decoder(nn.Module):
         self_bias = (pos_bias + causal).astype(jnp.float32)
         cross_bias = jnp.where(enc_mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
 
+        scan_body = _ScannedT5DecoderLayer
+        if cfg.remat:
+            scan_body = nn.remat(scan_body, prevent_cse=False)
         stack = nn.scan(
-            _ScannedT5DecoderLayer,
+            scan_body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=cfg.num_layers,

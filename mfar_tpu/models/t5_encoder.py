@@ -39,6 +39,7 @@ class T5Config:
     layer_norm_eps: float = 1e-6
     dropout: float = 0.1
     gated_ffn: bool = False  # True for T5 v1.1 (gelu gated)
+    remat: bool = False  # rematerialize layers (trade FLOPs for HBM)
     dtype: Any = jnp.bfloat16
     projection_dim: Optional[int] = None  # GTR dense head (d_model -> dim)
     normalize: bool = False
@@ -165,8 +166,11 @@ class T5Encoder(nn.Module):
         pos_bias = jnp.transpose(bias_table[buckets], (2, 0, 1))[None]  # [1, H, S, S]
         mask_bias = jnp.where(attention_mask[:, None, None, :] > 0, 0.0, -1e9).astype(jnp.float32)
 
+        scan_body = _ScannedT5Layer
+        if cfg.remat:
+            scan_body = nn.remat(scan_body, prevent_cse=False)
         stack = nn.scan(
-            _ScannedT5Layer,
+            scan_body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=cfg.num_layers,

@@ -154,3 +154,40 @@ def test_train_step_sharded_over_mesh():
     # params keep their shardings through the update
     k = state2.params["encoder"]["layers"]["layer"]["mlp_in"]["kernel"]
     assert "model" in str(k.sharding)
+
+
+def test_remat_preserves_loss_and_grads():
+    """remat=True must be numerically identical (same loss, same update)."""
+    import dataclasses
+
+    from mfar_tpu.models.encoder import EncoderConfig
+    from mfar_tpu.train.model import MFARModel
+    from mfar_tpu.train.optim import make_optimizer
+    from mfar_tpu.train.train_step import init_state, make_train_step
+
+    rng = np.random.default_rng(0)
+
+    def toks(n, s=8):
+        return {
+            "input_ids": jnp.asarray(rng.integers(4, 256, size=(n, s)), jnp.int32),
+            "attention_mask": jnp.ones((n, s), jnp.int32),
+        }
+
+    batch = {
+        "query": toks(4),
+        "pos": {"a_dense": toks(4)},
+        "neg": {"a_dense": toks(4)},
+    }
+    losses = []
+    for remat in (False, True):
+        config = dataclasses.replace(
+            EncoderConfig.tiny(), remat=remat, dtype=jnp.float32
+        )
+        model = MFARModel(encoder_config=config, num_fields=1, temperature=0.05)
+        opt = make_optimizer(encoder_lr=1e-3, weights_lr=1e-1)
+        state = init_state(model, opt, seed=0)
+        step = jax.jit(make_train_step(model, opt))
+        state, m = step(state, batch)
+        state, m2 = step(state, batch)
+        losses.append((float(m["loss"]), float(m2["loss"])))
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
