@@ -79,6 +79,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefix", action="store_true")
     p.add_argument("--run-one-iteration", action="store_true")
     p.add_argument("--use-batchnorm", action="store_true")
+    p.add_argument("--prng", default="rbg", choices=["rbg", "threefry"],
+                   help="PRNG impl for dropout etc.; rbg uses the TPU hardware "
+                        "generator (measured ~11%% faster steps with dropout on)")
+    p.add_argument("--hidden-dropout", type=float, default=None,
+                   help="override encoder hidden dropout (default: model config)")
+    p.add_argument("--attention-dropout", type=float, default=None,
+                   help="override attention dropout; 0 avoids the [B,H,S,S] "
+                        "dropout-mask traffic (measured 1282->933 ms/step on mag)")
     p.add_argument("--remat", default="auto", choices=["auto", "on", "off"],
                    help="rematerialize encoder layers (auto: on for >=8-layer "
                         "encoders; the 1+2F encoder passes per step OOM at "
@@ -94,6 +102,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(argv)
+    try:  # before any PRNG key exists; no-op if something already made one
+        jax.config.update("jax_default_prng_impl", args.prng)
+    except Exception as e:
+        print(f"[train] could not set prng impl {args.prng}: {e}")
     resolve_data_dirs(args)
     os.makedirs(args.out, exist_ok=True)
 
@@ -136,8 +148,13 @@ def main(argv=None) -> None:
     # mag all_dense at B=24).  The reference can't do this at all
     # (gradient checkpointing explicitly unsupported, README.md:151).
     remat = {"auto": config.num_layers >= 8, "on": True, "off": False}[args.remat]
-    if remat != config.remat:
-        config = dataclasses.replace(config, remat=remat)
+    overrides = {} if remat == config.remat else {"remat": remat}
+    if args.hidden_dropout is not None:
+        overrides["hidden_dropout" if hasattr(config, "hidden_dropout") else "dropout"] = args.hidden_dropout
+    if args.attention_dropout is not None and hasattr(config, "attention_dropout"):
+        overrides["attention_dropout"] = args.attention_dropout
+    if overrides:
+        config = dataclasses.replace(config, **overrides)
 
     sparse_indices = load_or_build_sparse_indices(corpus, field_info, args.lexical_index)
     neg_index = load_negative_sampler_index(corpus, args.lexical_index, args.dataset_name)

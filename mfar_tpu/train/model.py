@@ -106,31 +106,42 @@ class MFARModel(nn.Module):
         sparse_neg: Optional[jax.Array],  # [B, B*Nn, Fs]
         train: bool = True,
     ) -> jax.Array:
-        """Full training-step forward: 1 + 2*|dense fields| encoder passes,
-        then the hybrid loss (reference training_step data flow,
-        mfar/modeling/contrastive.py:409-446)."""
+        """Full training-step forward: the reference's 1 + 2*|dense fields|
+        encoder passes (mfar/modeling/contrastive.py:409-446), here batched
+        by sequence length -- every (query/pos/neg, field) text padded to the
+        same per-field budget rides ONE encoder call, so the MXU sees a few
+        large batches instead of 1+2F small ones (same math: the encoder is
+        row-independent)."""
         det = not train
-        q = self.encode(query_tokens["input_ids"], query_tokens["attention_mask"], det)
-
         field_keys = sorted(pos_tokens.keys())
+        jobs = [("q", None, query_tokens)]
+        jobs += [("pos", fk, pos_tokens[fk]) for fk in field_keys]
+        if neg_tokens:
+            jobs += [("neg", fk, neg_tokens[fk]) for fk in field_keys if fk in neg_tokens]
+
+        by_len: Dict[int, list] = {}
+        for job in jobs:
+            by_len.setdefault(job[2]["input_ids"].shape[-1], []).append(job)
+        outputs: Dict[Any, jax.Array] = {}
+        for group in by_len.values():
+            ids = jnp.concatenate([t["input_ids"] for _, _, t in group], axis=0)
+            mask = jnp.concatenate([t["attention_mask"] for _, _, t in group], axis=0)
+            embs = self.encode(ids, mask, det)
+            start = 0
+            for tag, fk, t in group:
+                rows = t["input_ids"].shape[0]
+                outputs[(tag, fk)] = embs[start : start + rows]
+                start += rows
+
+        q = outputs[("q", None)]
         if field_keys:
-            pos_embs = jnp.stack(
-                [
-                    self.encode(pos_tokens[fk]["input_ids"], pos_tokens[fk]["attention_mask"], det)
-                    for fk in field_keys
-                ],
-                axis=1,
-            )  # [B, Fd, E]
+            pos_embs = jnp.stack([outputs[("pos", fk)] for fk in field_keys], axis=1)  # [B, Fd, E]
         else:
             pos_embs = jnp.zeros((q.shape[0], 0, q.shape[-1]), q.dtype)
         if field_keys and neg_tokens:
             b = q.shape[0]
             neg_stack = jnp.stack(
-                [
-                    self.encode(neg_tokens[fk]["input_ids"], neg_tokens[fk]["attention_mask"], det)
-                    for fk in field_keys
-                ],
-                axis=1,
+                [outputs[("neg", fk)] for fk in field_keys], axis=1
             )  # [B*Nn, Fd, E]  (b-major: row b*Nn+j is item b's j-th negative)
             nn_ = neg_stack.shape[0] // b
             neg_embs = neg_stack.reshape(b, nn_, len(field_keys), -1).transpose(0, 2, 1, 3)

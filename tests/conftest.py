@@ -38,3 +38,13 @@ def rng():
     import numpy as np
 
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_prng_impl():
+    """CLI mains set jax_default_prng_impl (--prng); keep it from leaking
+    across tests."""
+    impl = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != impl:
+        jax.config.update("jax_default_prng_impl", impl)

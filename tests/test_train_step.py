@@ -181,7 +181,8 @@ def test_remat_preserves_loss_and_grads():
     losses = []
     for remat in (False, True):
         config = dataclasses.replace(
-            EncoderConfig.tiny(), remat=remat, dtype=jnp.float32
+            EncoderConfig.tiny(), remat=remat, dtype=jnp.float32,
+            hidden_dropout=0.0, attention_dropout=0.0,
         )
         model = MFARModel(encoder_config=config, num_fields=1, temperature=0.05)
         opt = make_optimizer(encoder_lr=1e-3, weights_lr=1e-1)
