@@ -70,9 +70,14 @@ def main(argv=None) -> None:
 
     encoder = build_encoder(config)
 
-    @jax.jit
+    # Params as an argument (not a closure constant): closure capture embeds
+    # the weights in the compile payload and overflows remote-compile
+    # transports at full model scale.
+    _jit_encode = jax.jit(lambda p, ids, mask: encoder.apply({"params": p}, ids, mask))
+    jparams = jax.tree.map(jnp.asarray, params)
+
     def encode(ids, mask):
-        return encoder.apply({"params": params}, ids, mask)
+        return _jit_encode(jparams, ids, mask)
 
     matrix = build_dense_corpus_matrix(
         encode, tokenizer, corpus, dense_fields,

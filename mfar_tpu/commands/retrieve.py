@@ -82,9 +82,14 @@ def main(argv=None) -> None:
 
     encoder = build_encoder(config)
 
-    @jax.jit
+    # Params as an argument (not a closure constant): closure capture embeds
+    # the weights in the compile payload and overflows remote-compile
+    # transports at full model scale.
+    _jit_encode = jax.jit(lambda p, ids, mask: encoder.apply({"params": p}, ids, mask))
+    jparams = jax.tree.map(jnp.asarray, params)
+
     def encode(ids, mask):
-        return encoder.apply({"params": params}, ids, mask)
+        return _jit_encode(jparams, ids, mask)
 
     dense_fields = {k: f for k, f in field_info.items() if f.is_dense}
     if args.dense_index:

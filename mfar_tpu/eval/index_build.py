@@ -33,8 +33,13 @@ def encode_texts(
 ) -> np.ndarray:
     """Batched encoder forward over texts.  Batches are padded to the full
     ``batch_size`` and a single bucket width so every step reuses one
-    compiled program (no per-batch recompiles on TPU)."""
-    out: List[np.ndarray] = []
+    compiled program (no per-batch recompiles on TPU).
+
+    Dispatches are asynchronous: host tokenization of batch i+1 overlaps
+    device compute of batch i, and results transfer to host only at the end
+    -- fetching per batch would serialize on the device round-trip (on a
+    relay-tunneled chip that alone is ~35 ms/batch)."""
+    pending: List[Tuple[Any, int]] = []
     n = len(texts)
     for start in range(0, n, batch_size):
         chunk = list(texts[start : start + batch_size])
@@ -43,10 +48,10 @@ def encode_texts(
             chunk += [""] * (batch_size - real)
         toks = tokenizer.encode_batch(chunk, max_length, bucket=False)
         embs = encode_fn(jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]))
-        out.append(np.asarray(embs)[:real])
-    if not out:
+        pending.append((embs, real))
+    if not pending:
         return np.zeros((0, 0), np.float32)
-    return np.concatenate(out, axis=0)
+    return np.concatenate([np.asarray(e)[:real] for e, real in pending], axis=0)
 
 
 def build_dense_corpus_matrix(

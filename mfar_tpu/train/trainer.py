@@ -110,17 +110,23 @@ class Trainer:
         self.best_score = 0.0
         self.mask: Optional[np.ndarray] = None
         self.masked_fields_string = ""
+        self._jit_encode = None
 
     # ------------------------------------------------------------------
 
     def _encode_fn(self, state: TrainState):
+        # Params ride as an ARGUMENT of one cached jitted function: closing
+        # over them would (a) recompile on every eval (new closure, new jit)
+        # and (b) embed the full weights in the compile payload, which
+        # overflows remote-compile transports at contriever scale.
+        if self._jit_encode is None:
+            self._jit_encode = jax.jit(
+                lambda p, ids, mask: self.model.apply(
+                    {"params": p}, ids, mask, method=self.model.encode
+                )
+            )
         params = state.params
-
-        @jax.jit
-        def encode(ids, mask):
-            return self.model.apply({"params": params}, ids, mask, method=self.model.encode)
-
-        return encode
+        return lambda ids, mask: self._jit_encode(params, ids, mask)
 
     def build_engine(self, state: TrainState) -> RetrievalEngine:
         """(Re)index the corpus with the current encoder and assemble the
