@@ -44,6 +44,9 @@ def main(argv=None) -> None:
     p.add_argument("--recall-k", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--normalize", action="store_true")
+    p.add_argument("--quantize", default=None, choices=[None, "int8"],
+                   help="int8 corpus quantization: half the HBM (2x docs/chip), "
+                        "~0.5%% per-side score precision trade")
     p.add_argument("--use-pallas-gather", action="store_true",
                    help="Pallas DMA rerank gather (faster stage-2; keeps a "
                         "second corpus copy in HBM -- see ops/pallas_kernels.py)")
@@ -109,6 +112,7 @@ def main(argv=None) -> None:
         sparse_indices={k: sparse_indices[k] for k in sparse_keys(field_info)},
         recall_k=args.recall_k,
         use_pallas_gather=args.use_pallas_gather,
+        quantize=args.quantize,
     )
 
     qids = list(queries)

@@ -33,8 +33,10 @@ from mfar_tpu.data.types import Field
 from mfar_tpu.ops.scoring import (
     dense_topk_chunked,
     dense_topk_chunked_approx,
+    dense_topk_chunked_approx_int8,
     fold_queries,
     per_field_candidate_scores,
+    quantize_rows_int8,
     rerank_candidates,
     softmax_field_weights,
 )
@@ -67,6 +69,8 @@ class RetrievalEngine:
         recall_k: int = 100,
         mask: Optional[np.ndarray] = None,  # [Ftot] field ablation mask
         use_pallas_gather: bool = False,  # opt-in Pallas rerank (see ops/pallas_kernels.py)
+        quantize: Optional[str] = None,  # "int8": half corpus HBM (2x docs/chip),
+        #                                  ~0.5% score precision trade
     ):
         self.field_info = field_info
         self.doc_keys = list(doc_keys)
@@ -87,14 +91,30 @@ class RetrievalEngine:
         # copy (rerank-heavy serving trade-off, see ops/pallas_kernels.py).
         self.docs_flat = None
         self.docs_rows = None
+        self.docs_q = None  # int8 corpus (+ self.doc_scales) when quantized
+        self.doc_scales = None
         self.emb_dim = None
-        if dense_matrix is not None and dense_matrix.size:
+        self.has_dense = dense_matrix is not None and dense_matrix.size > 0
+        if self.has_dense:
             n, fd, e = dense_matrix.shape
             self.emb_dim = e
             flat = dense_matrix.reshape(n, fd * e)
             if n > TOPK_CHUNK and n % TOPK_CHUNK:  # pad for the chunked scans
                 flat = np.pad(flat, ((0, _round_up(n, TOPK_CHUNK) - n), (0, 0)))
-            self.docs_flat = jnp.asarray(flat)
+            if quantize == "int8":
+                assert not use_pallas_gather, "pallas gather path is full-precision only"
+                # host-side quantization (same math as quantize_rows_int8)
+                # so the f32 corpus never transits HBM
+                absmax = np.maximum(np.max(np.abs(flat), axis=1, keepdims=True), 1e-12)
+                scales = (absmax / 127.0).astype(np.float32)
+                self.docs_q = jnp.asarray(
+                    np.clip(np.round(flat / scales), -127, 127).astype(np.int8)
+                )
+                self.doc_scales = jnp.asarray(scales[:, 0])
+            elif quantize:
+                raise ValueError(f"unknown quantize mode {quantize!r}")
+            else:
+                self.docs_flat = jnp.asarray(flat)
             if use_pallas_gather:
                 if e % 128 == 0:  # kernel needs lane-aligned field segments
                     from mfar_tpu.ops.pallas_kernels import make_row_dma_view
@@ -125,16 +145,24 @@ class RetrievalEngine:
     # ------------------------------------------------------------------
 
     def retrieve_exact(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
-        """Fused exact full-corpus retrieval (dense fields only)."""
+        """Fused exact full-corpus retrieval (dense fields only; under int8
+        quantization, exact up to the ~0.5% per-row quantization error)."""
         assert not self.sparse_keys, "exact mode requires all-dense fields"
         q = self.encode_queries(queries)
         weights = self._field_weights(q)
         weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
-        qflat = fold_queries(q, weights).astype(self.docs_flat.dtype)
-        top_s, top_i = dense_topk_chunked(
-            qflat, self.docs_flat, jnp.int32(self.n_docs),
-            k=min(top_k, self.n_docs), chunk_size=TOPK_CHUNK,
-        )
+        qflat = fold_queries(q, weights)
+        if self.docs_q is not None:
+            top_s, top_i = dense_topk_chunked_approx_int8(
+                qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
+                jnp.int32(self.n_docs), k=min(top_k, self.n_docs),
+                chunk_size=TOPK_CHUNK, recall_target=0.99,
+            )
+        else:
+            top_s, top_i = dense_topk_chunked(
+                qflat.astype(self.docs_flat.dtype), self.docs_flat, jnp.int32(self.n_docs),
+                k=min(top_k, self.n_docs), chunk_size=TOPK_CHUNK,
+            )
         return self._to_keyed(np.asarray(top_s), np.asarray(top_i))
 
     def retrieve_rerank(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
@@ -147,18 +175,24 @@ class RetrievalEngine:
         # by folding one-hot field selectors into the queries.  This is a
         # recall stage (the reference's own eval approximates with per-field
         # top-100 unions), so the PartialReduce top-k (recall>=0.95) applies.
-        if self.dense_keys and self.docs_flat is not None:
+        if self.dense_keys and self.has_dense:
             fd = len(self.dense_keys)
             eye = jnp.eye(fd, dtype=q.dtype)
             onehot_q = jnp.einsum("fg,be->bfge", eye, q).reshape(b * fd, fd * self.emb_dim)
             k = min(self.recall_k, self.n_docs)
-            _, idx = dense_topk_chunked_approx(
-                onehot_q.astype(self.docs_flat.dtype),
-                self.docs_flat,
-                jnp.int32(self.n_docs),
-                k=k,
-                chunk_size=TOPK_CHUNK,
-            )
+            if self.docs_q is not None:
+                _, idx = dense_topk_chunked_approx_int8(
+                    onehot_q.astype(jnp.float32), self.docs_q, self.doc_scales,
+                    jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK,
+                )
+            else:
+                _, idx = dense_topk_chunked_approx(
+                    onehot_q.astype(self.docs_flat.dtype),
+                    self.docs_flat,
+                    jnp.int32(self.n_docs),
+                    k=k,
+                    chunk_size=TOPK_CHUNK,
+                )
             idx = np.asarray(idx).reshape(b, fd, k)
             for i in range(b):
                 cand_sets[i].update(int(x) for x in idx[i].ravel())
@@ -182,7 +216,7 @@ class RetrievalEngine:
             valid[i, : len(ids)] = True
 
         # stage 2: per-field scores for candidates
-        if self.dense_keys and self.docs_flat is not None:
+        if self.dense_keys and self.has_dense:
             fd = len(self.dense_keys)
             cand_j = jnp.asarray(cand)
             if self.docs_rows is not None:
@@ -193,7 +227,11 @@ class RetrievalEngine:
                     interpret=jax.default_backend() != "tpu",
                 )
             else:
-                rows = jnp.take(self.docs_flat, cand_j, axis=0)  # [B, C, Fd*E]
+                if self.docs_q is not None:  # dequantize just the candidates
+                    rows = jnp.take(self.docs_q, cand_j, axis=0).astype(jnp.float32)
+                    rows = rows * jnp.take(self.doc_scales, cand_j, axis=0)[..., None]
+                else:
+                    rows = jnp.take(self.docs_flat, cand_j, axis=0)  # [B, C, Fd*E]
                 cand_docs = rows.reshape(b, width, fd, self.emb_dim)
                 dense_scores = per_field_candidate_scores(
                     q.astype(jnp.float32), cand_docs.astype(jnp.float32)
@@ -225,7 +263,7 @@ class RetrievalEngine:
         return self._to_keyed(np.asarray(top_s), top_i)
 
     def retrieve(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
-        if not self.sparse_keys and self.docs_flat is not None:
+        if not self.sparse_keys and self.has_dense:
             return self.retrieve_exact(queries, top_k)
         return self.retrieve_rerank(queries, top_k)
 

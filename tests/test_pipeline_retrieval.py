@@ -218,3 +218,47 @@ def test_engine_pads_corpus_to_chunk_multiple(monkeypatch):
         assert len(hits) == 5
         want = np.argsort(-naive[b])[:5]
         assert [int(k) for k, _ in hits] == list(want)
+
+
+def test_quantized_engine_matches_full_precision(world, engine):
+    """int8 mode: same top-k ids as the f32 engine on separated scores; no
+    full-precision corpus kept on device."""
+    w = world
+    eng, matrix, mixer = engine
+    eng8 = RetrievalEngine(
+        field_info=eng.field_info,
+        doc_keys=eng.doc_keys,
+        encode_fn=w["encode_fn"],
+        tokenizer=w["tok"],
+        mixer_params=mixer,
+        dense_matrix=matrix,
+        query_max_length=64,
+        quantize="int8",
+    )
+    assert eng8.docs_flat is None and eng8.docs_q is not None
+    assert eng8.docs_q.dtype == jnp.int8
+    queries = list(w["queries"].values())[:5]
+    full = eng.retrieve_exact(queries, top_k=7)
+    quant = eng8.retrieve_exact(queries, top_k=7)
+
+    # ground truth over the DEQUANTIZED corpus: the engine must agree with
+    # it exactly (the quantization error itself, vs f32, only reorders
+    # near-ties -- checked as overlap below)
+    deq = np.asarray(eng8.docs_q, np.float32) * np.asarray(eng8.doc_scales)[:, None]
+    deq = deq.reshape(len(eng8.doc_keys), len(eng.dense_keys), -1)
+    q = np.asarray(eng8.encode_queries(queries), np.float32)
+    wts = np.exp(q @ np.asarray(mixer["weight"]))
+    wts /= wts.sum(-1, keepdims=True)
+    truth = np.einsum("bnf,bf->bn", np.einsum("be,nfe->bnf", q, deq), wts)
+    for i, q_hits in enumerate(quant):
+        want = set(np.argsort(-truth[i])[:7])
+        got = {w["corpus"].key_to_id[k] for k, _ in q_hits}
+        assert got == want
+        for k, s in q_hits:
+            ref = truth[i][w["corpus"].key_to_id[k]]
+            # engine also quantizes the query side -> ~2x the per-side error
+            assert abs(s - ref) <= 1e-2 * max(1.0, abs(ref))
+    # vs full precision: near-ties may cross the k-boundary, nothing else
+    for f_hits, q_hits in zip(full, quant):
+        overlap = {k for k, _ in f_hits} & {k for k, _ in q_hits}
+        assert len(overlap) >= 5

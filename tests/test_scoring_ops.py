@@ -162,3 +162,31 @@ def test_chunked_approx_topk(data):
     # single-chunk fallback path
     s1, i1 = dense_topk_chunked_approx(qflat, docs_pad, jnp.int32(N), k=k, chunk_size=64)
     np.testing.assert_allclose(np.asarray(s1), want_s, rtol=2e-5, atol=1e-5)
+
+
+def test_int8_quantized_topk(data):
+    """Quantized top-k agrees with the exact f32 ranking on well-separated
+    scores and bounds the score error at the symmetric-quantization level."""
+    from mfar_tpu.ops.scoring import dense_topk_chunked_approx_int8, quantize_rows_int8
+
+    q, docs, W = data
+    weights = softmax_field_weights(W, q)
+    qflat = fold_queries(q, weights)
+    docs_flat = jnp.pad(docs.reshape(N, F * E), ((0, 40 - N), (0, 0)))
+    dq, ds = quantize_rows_int8(docs_flat)
+    assert dq.dtype == jnp.int8 and ds.shape == (40,)
+    # dequantization error bound: |x - q*s| <= s/2 per element
+    err = np.abs(np.asarray(docs_flat) - np.asarray(dq, np.float32) * np.asarray(ds)[:, None])
+    assert (err <= np.asarray(ds)[:, None] / 2 + 1e-6).all()
+
+    k = 5
+    top_s, top_i = dense_topk_chunked_approx_int8(qflat, dq, ds, jnp.int32(N), k=k, chunk_size=8)
+    full = naive_scores(q, docs, W)
+    want_i = np.argsort(-full, axis=1)[:, :k]
+    want_s = np.take_along_axis(full, want_i, axis=1)
+    # scores within quantization tolerance; ranking matches on this data
+    np.testing.assert_allclose(np.asarray(top_s), want_s, rtol=2e-2, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(top_i), want_i)
+    # single-chunk path
+    s1, i1 = dense_topk_chunked_approx_int8(qflat, dq, ds, jnp.int32(N), k=k, chunk_size=64)
+    np.testing.assert_array_equal(np.asarray(i1), want_i)
