@@ -117,7 +117,8 @@ class MFARModel(nn.Module):
         jobs = [("q", None, query_tokens)]
         jobs += [("pos", fk, pos_tokens[fk]) for fk in field_keys]
         if neg_tokens:
-            jobs += [("neg", fk, neg_tokens[fk]) for fk in field_keys if fk in neg_tokens]
+            # all dense fields carry negatives or none do (collate invariant)
+            jobs += [("neg", fk, neg_tokens[fk]) for fk in field_keys]
 
         by_len: Dict[int, list] = {}
         for job in jobs:
