@@ -67,3 +67,28 @@ def test_train_and_mask_fields_cli(dirs):
     ])
     lines = [json.loads(l) for l in open(os.path.join(dirs["mask"], "results_dicts.jsonl"))]
     assert lines[0]["masked_fields"] == ""
+
+
+def test_retrieve_cli(dirs, tmp_path):
+    """Serving command end-to-end: qres written, metrics printed, and the
+    int8-quantized run returns the same candidate set."""
+    from mfar_tpu.commands import retrieve as retrieve_cmd
+    from mfar_tpu.data import trec
+
+    out = str(tmp_path / "test.qres")
+    base = [
+        "--dataset-name", "amazon", "--data", dirs["ds"],
+        "--lexical-index", dirs["idx"],
+        "--field-names", "title_dense,title_sparse", "--model-name", "synthetic",
+        "--partition", "val", "--recall-k", "10", "--top-k", "10",
+    ]
+    retrieve_cmd.main(base + ["--out", out])
+    qres = list(trec.QRes.from_file(out))
+    assert qres and all(r.rank < 10 for r in qres)
+
+    out8 = str(tmp_path / "test8.qres")
+    retrieve_cmd.main(base + ["--out", out8, "--quantize", "int8"])
+    ids = {(r.query_id, r.doc_id) for r in qres}
+    ids8 = {(r.query_id, r.doc_id) for r in trec.QRes.from_file(out8)}
+    # candidate overlap >= 80% (near-ties may cross the k boundary)
+    assert len(ids & ids8) >= int(0.8 * len(ids))
