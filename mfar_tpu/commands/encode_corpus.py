@@ -70,14 +70,9 @@ def main(argv=None) -> None:
 
     encoder = build_encoder(config)
 
-    # Params as an argument (not a closure constant): closure capture embeds
-    # the weights in the compile payload and overflows remote-compile
-    # transports at full model scale.
-    _jit_encode = jax.jit(lambda p, ids, mask: encoder.apply({"params": p}, ids, mask))
-    jparams = jax.tree.map(jnp.asarray, params)
+    from mfar_tpu.eval.index_build import make_encode_fn
 
-    def encode(ids, mask):
-        return _jit_encode(jparams, ids, mask)
+    encode = make_encode_fn(encoder, params)
 
     matrix = build_dense_corpus_matrix(
         encode, tokenizer, corpus, dense_fields,

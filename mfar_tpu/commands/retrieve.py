@@ -85,14 +85,9 @@ def main(argv=None) -> None:
 
     encoder = build_encoder(config)
 
-    # Params as an argument (not a closure constant): closure capture embeds
-    # the weights in the compile payload and overflows remote-compile
-    # transports at full model scale.
-    _jit_encode = jax.jit(lambda p, ids, mask: encoder.apply({"params": p}, ids, mask))
-    jparams = jax.tree.map(jnp.asarray, params)
+    from mfar_tpu.eval.index_build import make_encode_fn
 
-    def encode(ids, mask):
-        return _jit_encode(jparams, ids, mask)
+    encode = make_encode_fn(encoder, params)
 
     dense_fields = {k: f for k, f in field_info.items() if f.is_dense}
     if args.dense_index:

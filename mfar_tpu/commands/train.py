@@ -241,6 +241,13 @@ def main(argv=None) -> None:
     start_epoch = 0
     if args.resume and trainer.ckpt.latest_step() is not None:
         latest = trainer.ckpt.latest_step()
+        saved_impl = trainer.ckpt.restore_meta(latest).get("prng_impl")
+        if saved_impl and saved_impl != args.prng:
+            raise SystemExit(
+                f"checkpoint {latest} was trained with --prng {saved_impl}; "
+                f"resuming with --prng {args.prng} would misread the saved "
+                f"rng key -- pass --prng {saved_impl}"
+            )
         state = trainer.ckpt.restore(latest, state)
         start_epoch = latest + 1
         print(f"Resumed from checkpoint {latest} (epoch {start_epoch})")

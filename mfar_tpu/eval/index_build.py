@@ -24,6 +24,20 @@ from mfar_tpu.data.schema import dense_keys, sparse_keys
 from mfar_tpu.sparse.bm25 import BM25Index
 
 
+def make_encode_fn(encoder, params) -> Callable:
+    """Jitted (input_ids, attention_mask) -> [n, E] with params bound as a
+    jit ARGUMENT, never a closure constant: closure capture embeds the full
+    weights in the compile payload (overflowing remote-compile transports at
+    full model scale) and recompiles whenever the closure is rebuilt."""
+    jit_encode = jax.jit(lambda p, ids, mask: encoder.apply({"params": p}, ids, mask))
+    jparams = jax.tree.map(jnp.asarray, params)
+
+    def encode(ids, mask):
+        return jit_encode(jparams, ids, mask)
+
+    return encode
+
+
 def encode_texts(
     encode_fn: Callable,  # (input_ids, attention_mask) -> [n, E]
     tokenizer,
@@ -36,10 +50,19 @@ def encode_texts(
     compiled program (no per-batch recompiles on TPU).
 
     Dispatches are asynchronous: host tokenization of batch i+1 overlaps
-    device compute of batch i, and results transfer to host only at the end
-    -- fetching per batch would serialize on the device round-trip (on a
-    relay-tunneled chip that alone is ~35 ms/batch)."""
+    device compute of batch i, and results transfer to host in a bounded
+    sliding window -- fetching per batch would serialize on the device
+    round-trip (on a relay-tunneled chip that alone is ~35 ms/batch), while
+    keeping every batch device-resident would grow HBM by O(corpus)."""
+    window = 8  # batches in flight; bounds device residency to O(window)
     pending: List[Tuple[Any, int]] = []
+    out: List[np.ndarray] = []
+
+    def drain(upto: int) -> None:
+        while len(pending) > upto:
+            embs, real = pending.pop(0)
+            out.append(np.asarray(embs)[:real])
+
     n = len(texts)
     for start in range(0, n, batch_size):
         chunk = list(texts[start : start + batch_size])
@@ -49,9 +72,11 @@ def encode_texts(
         toks = tokenizer.encode_batch(chunk, max_length, bucket=False)
         embs = encode_fn(jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]))
         pending.append((embs, real))
-    if not pending:
+        drain(window)
+    drain(0)
+    if not out:
         return np.zeros((0, 0), np.float32)
-    return np.concatenate([np.asarray(e)[:real] for e, real in pending], axis=0)
+    return np.concatenate(out, axis=0)
 
 
 def build_dense_corpus_matrix(

@@ -36,7 +36,7 @@ from mfar_tpu.ops.scoring import (
     dense_topk_chunked_approx_int8,
     fold_queries,
     per_field_candidate_scores,
-    quantize_rows_int8,
+    quantize_rows_int8_np,
     rerank_candidates,
     softmax_field_weights,
 )
@@ -103,14 +103,10 @@ class RetrievalEngine:
                 flat = np.pad(flat, ((0, _round_up(n, TOPK_CHUNK) - n), (0, 0)))
             if quantize == "int8":
                 assert not use_pallas_gather, "pallas gather path is full-precision only"
-                # host-side quantization (same math as quantize_rows_int8)
-                # so the f32 corpus never transits HBM
-                absmax = np.maximum(np.max(np.abs(flat), axis=1, keepdims=True), 1e-12)
-                scales = (absmax / 127.0).astype(np.float32)
-                self.docs_q = jnp.asarray(
-                    np.clip(np.round(flat / scales), -127, 127).astype(np.int8)
-                )
-                self.doc_scales = jnp.asarray(scales[:, 0])
+                # host-side quantization so the f32 corpus never transits HBM
+                dq, ds = quantize_rows_int8_np(flat)
+                self.docs_q = jnp.asarray(dq)
+                self.doc_scales = jnp.asarray(ds)
             elif quantize:
                 raise ValueError(f"unknown quantize mode {quantize!r}")
             else:
@@ -153,10 +149,12 @@ class RetrievalEngine:
         weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
         qflat = fold_queries(q, weights)
         if self.docs_q is not None:
+            # exact per-chunk top-k: the only deviation from f32 retrieval
+            # is the quantization error itself
             top_s, top_i = dense_topk_chunked_approx_int8(
                 qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
                 jnp.int32(self.n_docs), k=min(top_k, self.n_docs),
-                chunk_size=TOPK_CHUNK, recall_target=0.99,
+                chunk_size=TOPK_CHUNK, exact=True,
             )
         else:
             top_s, top_i = dense_topk_chunked(

@@ -117,12 +117,21 @@ class TransformerLayer(nn.Module):
         shape = (batch, seq, cfg.num_heads, head_dim)
         q, k, v = (t.reshape(shape) for t in (q, k, v))
 
-        use_flash = cfg.attention_impl == "flash" or (
-            cfg.attention_impl == "auto"
-            and jax.default_backend() == "tpu"
+        # The flash kernel has no dropout and needs TPU + block-aligned seq;
+        # "auto" falls back to XLA when any precondition fails, an explicit
+        # "flash" refuses loudly rather than silently changing semantics.
+        flash_ok = (
+            jax.default_backend() == "tpu"
             and seq >= 128 and seq % 128 == 0
             and (deterministic or cfg.attention_dropout == 0.0)
         )
+        if cfg.attention_impl == "flash" and not flash_ok:
+            raise ValueError(
+                "attention_impl='flash' needs a TPU backend, seq % 128 == 0 "
+                "(got {}), and inactive attention dropout (got {}); use "
+                "'auto' for automatic fallback".format(seq, cfg.attention_dropout)
+            )
+        use_flash = cfg.attention_impl in ("flash", "auto") and flash_ok
         if use_flash:
             # Fused kernel: never materializes the [B, H, S, S] probs in HBM
             # (the XLA path's dominant traffic at seq 512).  Padding becomes

@@ -115,9 +115,18 @@ def graft_t5_decoder(model_id: str, encoder_config, encoder_params):
     from mfar_tpu.models.t5_decoder import graft_encoder_into_seq2seq
     from mfar_tpu.models.t5_encoder import t5_config_from_hf
 
+    # The size-from-suffix rule is only defined for the GTR family (the
+    # reference gates on this prefix too, mfar/modeling/util.py:22).
+    if not model_id.startswith("sentence-transformers/gtr-t5"):
+        raise ValueError(
+            f"with_decoder grafting is defined for sentence-transformers/"
+            f"gtr-t5-* ids (got {model_id!r})"
+        )
     t5_size = model_id.split("-")[-1]
     full = T5ForConditionalGeneration.from_pretrained(f"google-t5/t5-{t5_size}")
-    decoder_config = t5_config_from_hf(full.config)
+    decoder_config = t5_config_from_hf(
+        full.config, num_layers=full.config.num_decoder_layers
+    )
     return graft_encoder_into_seq2seq(
         encoder_params, full.state_dict(), encoder_config, decoder_config
     )

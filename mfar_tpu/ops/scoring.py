@@ -172,6 +172,7 @@ def dense_topk_chunked_approx(
     if n <= chunk_size:
         return dense_topk_approx(qflat, docs_flat, valid_n, k, recall_target)
     assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
+    assert k <= chunk_size, "top-k carry must fit in one chunk"
     num_chunks = n // chunk_size
     docs3 = docs_flat.reshape(num_chunks, chunk_size, -1)
     offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
@@ -199,15 +200,29 @@ def dense_topk_chunked_approx(
 def quantize_rows_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Per-row symmetric int8 quantization: values in [-127, 127] plus an
     f32 scale per row (absmax / 127).  Halves corpus HBM vs bf16 (2x doc
-    capacity per chip) and rides the MXU's int8 path (~1.2x measured at
-    retrieval shapes on v5e)."""
+    capacity per chip).  Keep in lockstep with
+    :func:`quantize_rows_int8_np` -- corpus (host) and query (device)
+    quantization must use identical math or their scales skew silently."""
     absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
     scale = jnp.maximum(absmax, 1e-12) / 127.0
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return q, scale[..., 0]
 
 
-@partial(jax.jit, static_argnames=("k", "chunk_size", "recall_target"))
+def quantize_rows_int8_np(x) -> Tuple:
+    """Host (numpy) twin of :func:`quantize_rows_int8`, for quantizing large
+    corpora without staging the f32 matrix through HBM.  Same math, same
+    round-half-to-even."""
+    import numpy as np
+
+    x = np.asarray(x, np.float32)
+    absmax = np.max(np.abs(x), axis=-1, keepdims=True)
+    scale = np.maximum(absmax, 1e-12).astype(np.float32) / 127.0
+    q = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    return q, scale[..., 0]
+
+
+@partial(jax.jit, static_argnames=("k", "chunk_size", "recall_target", "exact"))
 def dense_topk_chunked_approx_int8(
     qflat: jax.Array,  # [B, F*E] folded queries (any float dtype)
     docs_q: jax.Array,  # [N, F*E] int8 corpus (quantize_rows_int8)
@@ -216,21 +231,31 @@ def dense_topk_chunked_approx_int8(
     k: int,
     chunk_size: int = 131072,
     recall_target: float = 0.95,
+    exact: bool = False,  # exact per-chunk top-k (only quantization error remains)
 ) -> Tuple[jax.Array, jax.Array]:
     """Quantized variant of :func:`dense_topk_chunked_approx`: the corpus
     lives as int8 + per-row scales; queries quantize per row on the fly.
     Scores are (q8 . d8) * qscale * dscale -- exact up to the symmetric
-    per-row quantization error (~0.5% relative), ample for a recall stage."""
+    per-side quantization error (~0.5% relative).  ``exact=True`` replaces
+    the PartialReduce with a full per-chunk top-k, so the ONLY deviation
+    from f32 retrieval is the quantization error itself."""
     q8, q_scale = quantize_rows_int8(qflat)
     n = docs_q.shape[0]
+
+    def select(s, kk):
+        if exact:
+            return jax.lax.top_k(s, kk)
+        return jax.lax.approx_max_k(s, kk, recall_target=recall_target)
+
     if n <= chunk_size:
         s = jnp.dot(q8, docs_q.T, preferred_element_type=jnp.int32).astype(jnp.float32)
         s = s * q_scale[:, None] * doc_scales[None, :]
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
         s = s + jnp.where(idx < valid_n, 0.0, -jnp.inf)
-        top_s, sel = jax.lax.approx_max_k(s, min(k, n), recall_target=recall_target)
+        top_s, sel = select(s, min(k, n))
         return _pad_topk(top_s, sel, k)
     assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
+    assert k <= chunk_size, "top-k carry must fit in one chunk"
     num_chunks = n // chunk_size
     docs3 = docs_q.reshape(num_chunks, chunk_size, -1)
     scales3 = doc_scales.reshape(num_chunks, chunk_size)
@@ -241,7 +266,7 @@ def dense_topk_chunked_approx_int8(
         s = s * q_scale[:, None] * chunk_scales[None, :]
         idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
         s = s + jnp.where(idx < valid_n, 0.0, -jnp.inf)
-        top_s, sel = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+        top_s, sel = select(s, k)
         return top_s, offset + sel
 
     def step(carry, inp):
@@ -257,6 +282,14 @@ def dense_topk_chunked_approx_int8(
     return top_s, top_i
 
 
+def dense_topk_chunked_int8(qflat, docs_q, doc_scales, valid_n, k, chunk_size=131072):
+    """Exact (up to quantization) int8 retrieval -- the quantized twin of
+    :func:`dense_topk_chunked`."""
+    return dense_topk_chunked_approx_int8(
+        qflat, docs_q, doc_scales, valid_n, k, chunk_size, exact=True
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "recall_target"))
 def dense_topk_approx(
     qflat: jax.Array,
@@ -267,10 +300,12 @@ def dense_topk_approx(
 ) -> Tuple[jax.Array, jax.Array]:
     """Recall-stage top-k via the TPU PartialReduce op (lax.approx_max_k):
     much faster than exact sort at large N, with a tunable recall target."""
+    n = docs_flat.shape[0]
     scores = jnp.dot(qflat, docs_flat.T, preferred_element_type=jnp.float32)
-    idx = jax.lax.broadcasted_iota(jnp.int32, (1, docs_flat.shape[0]), 1)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     scores = jnp.where(idx < valid_n, scores, -jnp.inf)
-    return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    top_s, top_i = jax.lax.approx_max_k(scores, min(k, n), recall_target=recall_target)
+    return _pad_topk(top_s, top_i, k)
 
 
 def per_field_candidate_scores(

@@ -74,6 +74,10 @@ class CheckpointManager:
             "field_info": {k: f.serialize() for k, f in (field_info or {}).items()},
             "config": config or {},
             "metrics": {k: float(v) for k, v in metrics.items()},
+            # rng keys persist as raw data; restoring under a different PRNG
+            # impl (threefry uint32[2] vs rbg uint32[4]) would crash or
+            # silently misread the stream -- resume validates against this.
+            "prng_impl": str(jax.config.jax_default_prng_impl),
         }
         with open(os.path.join(self._step_dir(step), "meta.json"), "w") as f:
             json.dump(sidecar, f, indent=2)
