@@ -105,12 +105,24 @@ class CheckpointManager:
     def restore(self, step: Optional[int], template_state: TrainState) -> TrainState:
         step = step if step is not None else self.latest_step()
         assert step is not None, "no checkpoint to restore"
+        # rng keys persist as raw data whose shape depends on the PRNG impl
+        # (threefry uint32[2] vs rbg uint32[4]); restore under the impl the
+        # checkpoint records, not whatever this process defaults to.
+        rng_template = template_state.rng
+        try:
+            saved_impl = self.restore_meta(step).get("prng_impl")
+        except Exception:
+            saved_impl = None
+        if saved_impl:
+            candidate = jax.random.PRNGKey(0, impl=saved_impl)
+            if candidate.shape != rng_template.shape:
+                rng_template = candidate
         payload = {
             "params": template_state.params,
             "batch_stats": template_state.batch_stats,
             "opt_state": template_state.opt_state,
             "step": template_state.step,
-            "rng": template_state.rng,
+            "rng": rng_template,
         }
         restored = self._manager.restore(
             step,

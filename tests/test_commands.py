@@ -92,3 +92,27 @@ def test_retrieve_cli(dirs, tmp_path):
     ids8 = {(r.query_id, r.doc_id) for r in trec.QRes.from_file(out8)}
     # candidate overlap >= 80% (near-ties may cross the k boundary)
     assert len(ids & ids8) >= int(0.8 * len(ids))
+
+
+def test_checkpoint_reload_across_prng_impls(dirs, tmp_path):
+    """Eval commands must reload a checkpoint trained under a different
+    PRNG impl (rng keys persist as raw data with impl-dependent shapes)."""
+    import jax
+
+    run, mask = str(tmp_path / "run"), str(tmp_path / "mask")
+    train_cmd.main([
+        "--dataset-name", "amazon", "--data", dirs["ds"], "--out", run,
+        "--lexical-index", dirs["idx"], "--field-names", "title_dense,title_sparse",
+        "--model-name", "synthetic", "--weights-lr", "0.1", "--prng", "rbg",
+        "--train-batch-size", "4", "--max-epochs", "1", "--run-one-iteration",
+        "--recall-k", "10", "--dev-batch-size", "8",
+    ])
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+    mask_cmd.main([
+        "--dataset-name", "amazon", "--data", dirs["ds"], "--out", mask,
+        "--lexical-index", dirs["idx"], "--checkpoint-dir", run,
+        "--field-names", "title_dense,title_sparse", "--model-name", "synthetic",
+        "--debug", "--recall-k", "10", "--dev-batch-size", "8",
+    ])
+    lines = [json.loads(l) for l in open(os.path.join(mask, "results_dicts.jsonl"))]
+    assert lines and lines[0]["masked_fields"] == ""
