@@ -116,3 +116,31 @@ def test_checkpoint_reload_across_prng_impls(dirs, tmp_path):
     ])
     lines = [json.loads(l) for l in open(os.path.join(mask, "results_dicts.jsonl"))]
     assert lines and lines[0]["masked_fields"] == ""
+
+
+def test_encode_corpus_then_retrieve_prebuilt(dirs, tmp_path):
+    """encode_corpus -> retrieve --dense-index roundtrip: the prebuilt
+    matrix must load, match the corpus keys, and produce identical results
+    to the on-the-fly encode."""
+    from mfar_tpu.commands import encode_corpus as encode_cmd
+    from mfar_tpu.commands import retrieve as retrieve_cmd
+    from mfar_tpu.data import trec
+
+    npz = str(tmp_path / "dense.npz")
+    encode_cmd.main([
+        "--dataset-name", "amazon", "--data", dirs["ds"], "--out", npz,
+        "--field-names", "title_dense,title_sparse", "--model-name", "synthetic",
+        "--batch-size", "16",
+    ])
+    base = [
+        "--dataset-name", "amazon", "--data", dirs["ds"],
+        "--lexical-index", dirs["idx"],
+        "--field-names", "title_dense,title_sparse", "--model-name", "synthetic",
+        "--partition", "val", "--recall-k", "10", "--top-k", "10",
+    ]
+    out_pre, out_live = str(tmp_path / "pre.qres"), str(tmp_path / "live.qres")
+    retrieve_cmd.main(base + ["--out", out_pre, "--dense-index", npz])
+    retrieve_cmd.main(base + ["--out", out_live])
+    pre = [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(out_pre)]
+    live = [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(out_live)]
+    assert pre == live and pre
