@@ -3,16 +3,24 @@
 The serving equivalent of the reference's ``trec_eval_step``
 (mfar/modeling/contrastive.py:669-704), re-designed TPU-first with two modes:
 
-- ``exact`` (dense-only fields): the full corpus is scored in one fused
-  folded matmul + top-k (distributed over the mesh when the corpus is
-  sharded).  No recall stage, no candidate union: exact retrieval, which
-  the reference approximates.
-- ``rerank`` (default for hybrid): stage-1 recall takes the per-field dense
-  top-k on device (all fields in one corpus pass via one-hot query folding)
-  plus the per-field BM25 top-k on host; the per-query candidate union is
-  padded to a static width and stage-2 reranks all (dense+sparse) field
-  scores with the query-conditioned mixer -- the reference's semantics,
-  with the per-query python loop replaced by one batched device program.
+- ``exact``: the full corpus is scored in one fused folded matmul + top-k
+  (distributed over the mesh when the corpus is sharded).  For hybrid
+  configurations, the BM25 engine produces full-corpus per-field score
+  vectors on the host, the mixer's sparse weights fold them into one
+  [B, N] tensor, and the fused scan adds each chunk to the dense matmul
+  before the top-k.  No recall stage, no candidate union: exact retrieval,
+  which the reference can only approximate.
+- ``rerank`` (compat mode, reference semantics): stage-1 recall takes the
+  per-field dense top-k on device (all fields in ONE corpus pass, F batched
+  matmuls per chunk) plus the per-field BM25 top-k on host; the per-query
+  candidate union is padded to a static width and stage-2 reranks all
+  (dense+sparse) field scores with the query-conditioned mixer -- the
+  reference's semantics, with the per-query python loop replaced by one
+  batched device program.
+
+When constructed with a ``mesh``, the corpus shards over the mesh's batch
+axes and every corpus-scan op routes through the ``shard_map`` collectives
+in :mod:`mfar_tpu.parallel.topk` -- the multi-chip serving path.
 
 Field ablation masks (mask_fields) multiply the per-field scores exactly as
 the reference does (mfar/modeling/contrastive.py:686,706-714).
@@ -32,10 +40,11 @@ from mfar_tpu.data.schema import dense_keys, sparse_keys
 from mfar_tpu.data.types import Field
 from mfar_tpu.ops.scoring import (
     dense_topk_chunked,
-    dense_topk_chunked_approx,
     dense_topk_chunked_approx_int8,
     fold_queries,
+    hybrid_topk_chunked,
     per_field_candidate_scores,
+    per_field_topk_chunked_approx,
     quantize_rows_int8_np,
     rerank_candidates,
     softmax_field_weights,
@@ -71,6 +80,8 @@ class RetrievalEngine:
         use_pallas_gather: bool = False,  # opt-in Pallas rerank (see ops/pallas_kernels.py)
         quantize: Optional[str] = None,  # "int8": half corpus HBM (2x docs/chip),
         #                                  ~0.5% score precision trade
+        mesh=None,  # jax.sharding.Mesh: shard the corpus + distribute the scans
+        mode: str = "auto",  # default retrieve() mode: auto|exact|rerank
     ):
         self.field_info = field_info
         self.doc_keys = list(doc_keys)
@@ -84,6 +95,27 @@ class RetrievalEngine:
         self.sparse_keys = sparse_keys(field_info)
         self.mask = mask
         self.n_docs = len(self.doc_keys)
+        self.mesh = mesh
+        assert mode in ("auto", "exact", "rerank"), mode
+        self.mode = mode
+        self._corpus_axes = None
+        if mesh is not None:
+            assert quantize is None and not use_pallas_gather, (
+                "mesh serving composes with the full-precision XLA path only "
+                "(int8 / pallas-gather are single-chip knobs this round)"
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mfar_tpu.parallel.mesh import batch_axes
+
+            self._corpus_axes = batch_axes(mesh)
+            # Mixer params replicate onto the mesh once: they may arrive
+            # committed elsewhere (host restore, or a trainer state placed on
+            # a different device subset), and eager ops can't mix device sets.
+            rep = NamedSharding(mesh, P())
+            self.mixer_params = jax.tree.map(
+                lambda x: jax.device_put(jnp.asarray(x), rep), mixer_params
+            )
 
         # ONE HBM-resident corpus copy, in the fused-matmul layout.  Stage-2
         # rerank gathers candidate rows from this same matrix (XLA gather);
@@ -94,13 +126,23 @@ class RetrievalEngine:
         self.docs_q = None  # int8 corpus (+ self.doc_scales) when quantized
         self.doc_scales = None
         self.emb_dim = None
+        self.n_pad = self.n_docs  # padded row count of the device corpus
         self.has_dense = dense_matrix is not None and dense_matrix.size > 0
         if self.has_dense:
             n, fd, e = dense_matrix.shape
             self.emb_dim = e
             flat = dense_matrix.reshape(n, fd * e)
-            if n > TOPK_CHUNK and n % TOPK_CHUNK:  # pad for the chunked scans
+            if mesh is not None:
+                # every shard must hold the same row count; big corpora also
+                # pad so each shard chunks evenly
+                from mfar_tpu.parallel.mesh import n_batch_shards
+
+                n_shards = n_batch_shards(mesh)
+                mult = n_shards * TOPK_CHUNK if n > n_shards * TOPK_CHUNK else n_shards
+                flat = np.pad(flat, ((0, _round_up(n, mult) - n), (0, 0)))
+            elif n > TOPK_CHUNK and n % TOPK_CHUNK:  # pad for the chunked scans
                 flat = np.pad(flat, ((0, _round_up(n, TOPK_CHUNK) - n), (0, 0)))
+            self.n_pad = flat.shape[0]
             if quantize == "int8":
                 assert not use_pallas_gather, "pallas gather path is full-precision only"
                 # host-side quantization so the f32 corpus never transits HBM
@@ -109,6 +151,12 @@ class RetrievalEngine:
                 self.doc_scales = jnp.asarray(ds)
             elif quantize:
                 raise ValueError(f"unknown quantize mode {quantize!r}")
+            elif mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self.docs_flat = jax.device_put(
+                    flat, NamedSharding(mesh, P(self._corpus_axes))
+                )
             else:
                 self.docs_flat = jnp.asarray(flat)
             if use_pallas_gather:
@@ -132,7 +180,12 @@ class RetrievalEngine:
         toks = self.tokenizer.encode_batch(
             [clean_query(q) for q in queries], self.query_max_length
         )
-        return self.encode_fn(jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]))
+        q = self.encode_fn(jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]))
+        if self.mesh is not None:  # commit to the serving mesh, replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            q = jax.device_put(q, NamedSharding(self.mesh, P()))
+        return q
 
     def _field_weights(self, q: jax.Array) -> jax.Array:
         mask = None if self.mask is None else jnp.asarray(self.mask, jnp.float32)
@@ -140,27 +193,100 @@ class RetrievalEngine:
 
     # ------------------------------------------------------------------
 
+    def _sparse_full_scores(self, cleaned: List[str], weights: np.ndarray) -> np.ndarray:
+        """Combined (weight-mixed) full-corpus sparse scores [B, n_pad].
+
+        Each sparse field's BM25 engine produces its full-corpus score
+        vector on the host (impact-CSR matvec; native C++ when built) and
+        the mixer's post-softmax weight for that field folds it in -- the
+        host half of the exact hybrid path."""
+        b = len(cleaned)
+        fd = len(self.dense_keys)
+        comb = np.zeros((b, self.n_pad), np.float32)
+        for s_i, fk in enumerate(self.sparse_keys):
+            w = weights[:, fd + s_i]  # [B] post-softmax (and post-mask) weight
+            if not np.any(w):
+                continue  # field masked out: skip the corpus scan entirely
+            scores = self.sparse_indices[fk].get_scores_batch(cleaned)
+            comb[:, : self.n_docs] += w[:, None] * scores
+        return comb
+
     def retrieve_exact(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
-        """Fused exact full-corpus retrieval (dense fields only; under int8
-        quantization, exact up to the ~0.5% per-row quantization error)."""
-        assert not self.sparse_keys, "exact mode requires all-dense fields"
+        """Fused exact full-corpus retrieval.
+
+        Dense fields ride the folded matmul; sparse fields stream their
+        full-corpus BM25 scores from the host into the same fused scan
+        (:func:`mfar_tpu.ops.scoring.hybrid_topk_chunked`).  Under int8
+        quantization (dense-only), exact up to the ~0.5% per-row
+        quantization error."""
+        k = min(top_k, self.n_docs)
         q = self.encode_queries(queries)
         weights = self._field_weights(q)
         weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
-        qflat = fold_queries(q, weights)
-        if self.docs_q is not None:
-            # exact per-chunk top-k: the only deviation from f32 retrieval
-            # is the quantization error itself
-            top_s, top_i = dense_topk_chunked_approx_int8(
-                qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
-                jnp.int32(self.n_docs), k=min(top_k, self.n_docs),
-                chunk_size=TOPK_CHUNK, exact=True,
+        fd = len(self.dense_keys)
+
+        sparse_comb = None
+        if self.sparse_keys:
+            cleaned = [clean_query(t) for t in queries]
+            sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
+
+        if not self.has_dense:
+            # sparse-only corpus: the combined scores ARE the totals
+            total = sparse_comb[:, : self.n_docs]
+            part = np.argpartition(-total, k - 1, axis=1)[:, :k]
+            part_s = np.take_along_axis(total, part, axis=1)
+            order = np.argsort(-part_s, axis=1, kind="stable")
+            return self._to_keyed(
+                np.take_along_axis(part_s, order, axis=1),
+                np.take_along_axis(part, order, axis=1),
             )
+
+        qflat = fold_queries(q, weights[:, :fd])
+        if sparse_comb is None:
+            if self.docs_q is not None:
+                # exact per-chunk top-k: the only deviation from f32
+                # retrieval is the quantization error itself
+                top_s, top_i = dense_topk_chunked_approx_int8(
+                    qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
+                    jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK, exact=True,
+                )
+            elif self.mesh is not None:
+                from mfar_tpu.parallel.topk import distributed_dense_topk
+
+                top_s, top_i = distributed_dense_topk(
+                    self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
+                    self.n_docs, k=k, chunk_size=TOPK_CHUNK, axis=self._corpus_axes,
+                )
+            else:
+                top_s, top_i = dense_topk_chunked(
+                    qflat.astype(self.docs_flat.dtype), self.docs_flat,
+                    jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK,
+                )
         else:
-            top_s, top_i = dense_topk_chunked(
-                qflat.astype(self.docs_flat.dtype), self.docs_flat, jnp.int32(self.n_docs),
-                k=min(top_k, self.n_docs), chunk_size=TOPK_CHUNK,
-            )
+            if self.docs_q is not None:
+                raise NotImplementedError(
+                    "exact hybrid + int8 quantization is not wired yet; "
+                    "use --quantize with the rerank mode"
+                )
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from mfar_tpu.parallel.topk import distributed_hybrid_topk
+
+                sparse_sharded = jax.device_put(
+                    sparse_comb, NamedSharding(self.mesh, P(None, self._corpus_axes))
+                )
+                top_s, top_i = distributed_hybrid_topk(
+                    self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
+                    sparse_sharded, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                    axis=self._corpus_axes,
+                )
+            else:
+                top_s, top_i = hybrid_topk_chunked(
+                    qflat.astype(self.docs_flat.dtype), self.docs_flat,
+                    jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
+                    k=k, chunk_size=TOPK_CHUNK,
+                )
         return self._to_keyed(np.asarray(top_s), np.asarray(top_i))
 
     def retrieve_rerank(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
@@ -170,30 +296,41 @@ class RetrievalEngine:
         cand_sets: List[set] = [set() for _ in range(b)]
 
         # stage 1a: dense per-field recall -- all fields in ONE corpus pass
-        # by folding one-hot field selectors into the queries.  This is a
-        # recall stage (the reference's own eval approximates with per-field
+        # (F batched matmuls per chunk read + F running PartialReduce
+        # top-ks, see per_field_topk_chunked_approx).  This is a recall
+        # stage (the reference's own eval approximates with per-field
         # top-100 unions), so the PartialReduce top-k (recall>=0.95) applies.
         if self.dense_keys and self.has_dense:
             fd = len(self.dense_keys)
-            eye = jnp.eye(fd, dtype=q.dtype)
-            onehot_q = jnp.einsum("fg,be->bfge", eye, q).reshape(b * fd, fd * self.emb_dim)
             k = min(self.recall_k, self.n_docs)
             if self.docs_q is not None:
-                _, idx = dense_topk_chunked_approx_int8(
+                # int8 corpus: per-row scales make the per-field einsum form
+                # awkward; the one-hot query folding re-uses the int8 kernel
+                from mfar_tpu.ops.scoring import dense_topk_chunked_approx_int8 as _i8
+
+                eye = jnp.eye(fd, dtype=q.dtype)
+                onehot_q = jnp.einsum("fg,be->bfge", eye, q).reshape(b * fd, fd * self.emb_dim)
+                s, idx = _i8(
                     onehot_q.astype(jnp.float32), self.docs_q, self.doc_scales,
                     jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK,
                 )
-            else:
-                _, idx = dense_topk_chunked_approx(
-                    onehot_q.astype(self.docs_flat.dtype),
-                    self.docs_flat,
-                    jnp.int32(self.n_docs),
-                    k=k,
-                    chunk_size=TOPK_CHUNK,
+            elif self.mesh is not None:
+                from mfar_tpu.parallel.topk import distributed_per_field_topk
+
+                s, idx = distributed_per_field_topk(
+                    self.mesh, q.astype(self.docs_flat.dtype), self.docs_flat,
+                    self.n_docs, fd, k=k, chunk_size=TOPK_CHUNK,
+                    axis=self._corpus_axes,
                 )
-            idx = np.asarray(idx).reshape(b, fd, k)
-            for i in range(b):
-                cand_sets[i].update(int(x) for x in idx[i].ravel())
+            else:
+                s, idx = per_field_topk_chunked_approx(
+                    q.astype(self.docs_flat.dtype), self.docs_flat,
+                    jnp.int32(self.n_docs), fd, k=k, chunk_size=TOPK_CHUNK,
+                )
+            s = np.asarray(s).reshape(b, fd * k)
+            idx = np.asarray(idx).reshape(b, fd * k)
+            for i in range(b):  # -inf hits = shard/corpus padding, drop
+                cand_sets[i].update(int(x) for x in idx[i][np.isfinite(s[i])])
 
         # stage 1b: sparse per-field recall on host
         cleaned = [clean_query(t) for t in queries]
@@ -217,7 +354,14 @@ class RetrievalEngine:
         if self.dense_keys and self.has_dense:
             fd = len(self.dense_keys)
             cand_j = jnp.asarray(cand)
-            if self.docs_rows is not None:
+            if self.mesh is not None:
+                from mfar_tpu.parallel.topk import distributed_candidate_scores
+
+                dense_scores = distributed_candidate_scores(
+                    self.mesh, q.astype(jnp.float32), self.docs_flat,
+                    cand_j.astype(jnp.int32), axis=self._corpus_axes, num_fields=fd,
+                )
+            elif self.docs_rows is not None:
                 from mfar_tpu.ops.pallas_kernels import gather_per_field_scores_pallas
 
                 dense_scores = gather_per_field_scores_pallas(
@@ -239,12 +383,13 @@ class RetrievalEngine:
 
         sparse_scores = None
         if self.sparse_keys:
+            # One full-corpus scoring pass per field, then a [B, C] column
+            # gather -- replacing the per-query host loop (one score_batch
+            # call per query per field) that round 1 shipped.
             sp = np.zeros((b, width, len(self.sparse_keys)), np.float32)
-            cand_keys = [[self.doc_keys[j] for j in row] for row in cand]
             for s_i, fk in enumerate(self.sparse_keys):
-                index = self.sparse_indices[fk]
-                for i in range(b):
-                    sp[i, :, s_i] = index.score_batch([cleaned[i]], cand_keys[i])[0]
+                all_scores = self.sparse_indices[fk].get_scores_batch(cleaned)  # [B, N]
+                sp[:, :, s_i] = np.take_along_axis(all_scores, cand, axis=1)
             sparse_scores = jnp.asarray(sp)
 
         mask = None if self.mask is None else jnp.asarray(self.mask, jnp.float32)
@@ -260,8 +405,16 @@ class RetrievalEngine:
         top_i = np.take_along_axis(cand, np.asarray(top_pos), axis=1)
         return self._to_keyed(np.asarray(top_s), top_i)
 
-    def retrieve(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
-        if not self.sparse_keys and self.has_dense:
+    def retrieve(
+        self, queries: Sequence[str], top_k: int = 100, mode: Optional[str] = None
+    ) -> List[List[Tuple[str, float]]]:
+        """``mode``: 'exact' (fused full-corpus scoring, hybrid-capable),
+        'rerank' (reference-compat recall+rerank), or 'auto' (exact for
+        all-dense, rerank for hybrid -- the reference's own asymmetry)."""
+        mode = mode or self.mode
+        if mode == "auto":
+            mode = "exact" if (not self.sparse_keys and self.has_dense) else "rerank"
+        if mode == "exact":
             return self.retrieve_exact(queries, top_k)
         return self.retrieve_rerank(queries, top_k)
 

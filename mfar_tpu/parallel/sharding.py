@@ -59,14 +59,27 @@ def _path_str(key_path) -> str:
     return "/".join(parts)
 
 
-def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
-    """PartitionSpec pytree matching the params pytree."""
+def param_specs(params: Dict[str, Any], mesh: Mesh = None) -> Dict[str, Any]:
+    """PartitionSpec pytree matching the params pytree.  With a mesh, leaves
+    whose dimensions don't divide the mesh axis fall back to replication
+    (e.g. a vocab size not divisible by the tensor-parallel degree)."""
+
+    def axis_size(ax) -> int:
+        axes = ax if isinstance(ax, tuple) else (ax,)
+        size = 1
+        for a in axes:
+            size *= mesh.shape[a]
+        return size
 
     def leaf_spec(key_path, leaf):
         spec = spec_for_path(_path_str(key_path))
         # Guard: never shard an axis the leaf doesn't have or can't divide.
         if len(spec) > getattr(leaf, "ndim", 0):
             return P()
+        if mesh is not None:
+            for dim, ax in enumerate(spec):
+                if ax is not None and leaf.shape[dim] % axis_size(ax) != 0:
+                    return P()
         return spec
 
     return jax.tree_util.tree_map_with_path(leaf_spec, params)
@@ -75,7 +88,7 @@ def param_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
     return jax.tree.map(
         lambda spec: NamedSharding(mesh, spec),
-        param_specs(params),
+        param_specs(params, mesh),
         is_leaf=lambda x: isinstance(x, P),
     )
 

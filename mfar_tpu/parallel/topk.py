@@ -23,7 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from mfar_tpu.ops.scoring import _pad_topk, dense_topk_chunked, dense_topk_chunked_approx
+from mfar_tpu.ops.scoring import (
+    _pad_topk,
+    dense_topk_chunked,
+    dense_topk_chunked_approx,
+    hybrid_topk_chunked,
+    per_field_topk_chunked_approx,
+)
 from mfar_tpu.parallel.mesh import DATA_AXIS
 
 AxisSpec = Union[str, Tuple[str, ...]]
@@ -33,6 +39,16 @@ def _axis_size(mesh, axis: AxisSpec) -> int:
     if isinstance(axis, str):
         return mesh.shape[axis]
     return int(np.prod([mesh.shape[a] for a in axis]))
+
+
+def _replicate(mesh, *arrays):
+    """Commit query-side arrays to the mesh, replicated.  They typically
+    arrive committed to a single device (the encoder jit's output); feeding
+    that into a shard_map over the full mesh is a device-set mismatch."""
+    from jax.sharding import NamedSharding
+
+    rep = NamedSharding(mesh, P())
+    return tuple(jax.device_put(a, rep) for a in arrays)
 
 
 def distributed_dense_topk(
@@ -72,6 +88,7 @@ def distributed_dense_topk(
 
     # [B, n_shards*local_k] shard-candidate lists; the final merge is a tiny
     # top-k (XLA all-gathers the candidates over ICI automatically).
+    (qflat,) = _replicate(mesh, qflat)
     cand_s, cand_i = _local_topk(qflat, docs_flat)
 
     kk = min(k, cand_s.shape[1])
@@ -84,12 +101,115 @@ def distributed_dense_topk(
     return _merge(cand_s, cand_i)
 
 
+def distributed_hybrid_topk(
+    mesh,
+    qflat: jax.Array,  # [B, F*E] folded queries (replicated)
+    docs_flat: jax.Array,  # [N, F*E] sharded P(axis) on rows
+    sparse_comb: jax.Array,  # [B, N] combined sparse scores, sharded P(None, axis)
+    valid_n: int,
+    k: int,
+    chunk_size: int = 131072,
+    axis: AxisSpec = DATA_AXIS,
+) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
+    """EXACT distributed hybrid top-k: each shard fuses its dense slice with
+    its slice of the host-streamed sparse scores, keeps a local top-k, and
+    the [B, n_shards*k] candidates merge over ICI (see
+    :func:`mfar_tpu.ops.scoring.hybrid_topk_chunked`)."""
+    n = docs_flat.shape[0]
+    n_shards = _axis_size(mesh, axis)
+    shard_n = n // n_shards
+    local_k = min(k, shard_n)
+    chunk_size = min(chunk_size, shard_n)
+    if chunk_size < local_k or shard_n % chunk_size != 0:
+        chunk_size = shard_n
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(None, axis)),
+        out_specs=(P(None, axis), P(None, axis)),
+    )
+    def _local_topk(q, docs, sparse):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        loc_s, loc_i = hybrid_topk_chunked(
+            q, docs, sparse, local_valid, k=local_k, chunk_size=chunk_size
+        )
+        return loc_s, loc_i + offset
+
+    (qflat,) = _replicate(mesh, qflat)
+    cand_s, cand_i = _local_topk(qflat, docs_flat, sparse_comb)
+    kk = min(k, cand_s.shape[1])
+
+    @jax.jit
+    def _merge(cs, ci):
+        top_s, sel = jax.lax.top_k(cs, kk)
+        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+
+    return _merge(cand_s, cand_i)
+
+
+def distributed_per_field_topk(
+    mesh,
+    q: jax.Array,  # [B, E] query embeddings (replicated, NOT folded)
+    docs_flat: jax.Array,  # [N, F*E] sharded P(axis) on rows
+    valid_n: int,
+    num_fields: int,
+    k: int,
+    chunk_size: int = 131072,
+    axis: AxisSpec = DATA_AXIS,
+) -> Tuple[jax.Array, jax.Array]:  # [B, F, k] scores, [B, F, k] global row ids
+    """Distributed per-field recall: one corpus pass per shard produces all
+    F per-field local top-ks (:func:`per_field_topk_chunked_approx`); the
+    [B, F, n_shards*k] candidates merge per field over ICI."""
+    n = docs_flat.shape[0]
+    n_shards = _axis_size(mesh, axis)
+    shard_n = n // n_shards
+    local_k = min(k, shard_n)
+    chunk_size = min(chunk_size, shard_n)
+    if chunk_size < local_k or shard_n % chunk_size != 0:
+        chunk_size = shard_n
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(None, None, axis), P(None, None, axis)),
+    )
+    def _local_topk(q_, docs):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        loc_s, loc_i = per_field_topk_chunked_approx(
+            q_, docs, local_valid, num_fields, k=local_k, chunk_size=chunk_size
+        )
+        return loc_s, loc_i + offset
+
+    (q,) = _replicate(mesh, q)
+    cand_s, cand_i = _local_topk(q, docs_flat)
+    kk = min(k, cand_s.shape[-1])
+
+    @jax.jit
+    def _merge(cs, ci):
+        top_s, sel = jax.lax.top_k(cs, kk)
+        top_i = jnp.take_along_axis(ci, sel, axis=-1)
+        if kk < k:
+            pad = [(0, 0), (0, 0), (0, k - kk)]
+            top_s = jnp.pad(top_s, pad, constant_values=-jnp.inf)
+            top_i = jnp.pad(top_i, pad)
+        return top_s, top_i
+
+    return _merge(cand_s, cand_i)
+
+
 def distributed_candidate_scores(
     mesh,
     q: jax.Array,  # [B, E] (replicated)
-    docs: jax.Array,  # [N, F, E] sharded P('data') on rows
+    docs: jax.Array,  # [N, F, E] or flat [N, F*E], sharded P('data') on rows
     cand_ids: jax.Array,  # [B, C] global row ids (replicated); -1 = padding
     axis: AxisSpec = DATA_AXIS,
+    num_fields: Optional[int] = None,  # required when docs is flat [N, F*E]
 ) -> jax.Array:  # [B, C, F] per-field dense scores
     """Each shard gathers only the candidates that live in its slice and
     contributes their scores; a psum over ICI yields the full tensor.
@@ -98,6 +218,8 @@ def distributed_candidate_scores(
     n = docs.shape[0]
     n_shards = _axis_size(mesh, axis)
     shard_n = n // n_shards
+    f = docs.shape[1] if docs.ndim == 3 else num_fields
+    assert f is not None, "pass num_fields for flat [N, F*E] corpora"
 
     @partial(
         jax.shard_map,
@@ -111,13 +233,15 @@ def distributed_candidate_scores(
         local = ids_ - offset
         mine = (local >= 0) & (local < shard_n)
         safe = jnp.where(mine, local, 0)
-        gathered = jnp.take(docs_, safe, axis=0)  # [B, C, F, E]
+        d3 = docs_.reshape(docs_.shape[0], f, -1)  # free for row-sharded flat layout
+        gathered = jnp.take(d3, safe, axis=0)  # [B, C, F, E]
         scores = jnp.einsum(
             "be,bcfe->bcf", q_, gathered, preferred_element_type=jnp.float32
         )
         scores = jnp.where(mine[..., None], scores, 0.0)
         return jax.lax.psum(scores, axis)
 
+    q, cand_ids = _replicate(mesh, q, cand_ids)
     return _run(q, docs, cand_ids)
 
 
