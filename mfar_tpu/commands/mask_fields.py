@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query-cond", dest="query_cond", action="store_true", default=True)
     p.add_argument("--no-query-cond", dest="query_cond", action="store_false")
     p.add_argument("--prefix", action="store_true")
+    p.add_argument("--retrieval-mode", default="auto", choices=["auto", "exact", "rerank"])
+    p.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                   help="auto: shard eval over all visible chips; off: single chip")
     p.add_argument("--debug", action="store_true", help="baseline only, skip the ablation sweep")
     return p
 
@@ -107,7 +110,14 @@ def main(argv=None) -> None:
     cfg = TrainerConfig(
         out_dir=args.out, dev_batch_size=args.dev_batch_size,
         recall_k=args.recall_k, prefix=args.prefix,
+        retrieval_mode=args.retrieval_mode,
     )
+    mesh = None
+    if args.mesh == "auto" and len(jax.devices()) > 1:
+        from mfar_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"[mask_fields] mesh: {dict(mesh.shape)}")
     additional_queries = additional_qrels = None
     if args.additional_partition:
         additional_queries = trec.read_queries(
@@ -120,7 +130,7 @@ def main(argv=None) -> None:
         dev_queries=dev_queries, dev_qrels_path=qrels_path,
         config=cfg, sparse_indices=sparse_indices,
         additional_queries=additional_queries, additional_qrels_path=additional_qrels,
-        logger=MetricsLogger(args.out),
+        logger=MetricsLogger(args.out), mesh=mesh,
     )
 
     print(f"Starting re-testing of {best_dir}: {time.strftime('%Y-%m-%d %H:%M:%S')}")

@@ -50,6 +50,13 @@ def main(argv=None) -> None:
     p.add_argument("--use-pallas-gather", action="store_true",
                    help="Pallas DMA rerank gather (faster stage-2; keeps a "
                         "second corpus copy in HBM -- see ops/pallas_kernels.py)")
+    p.add_argument("--mode", default="auto", choices=["auto", "exact", "rerank"],
+                   help="exact fuses full-corpus scoring (hybrid-capable); "
+                        "rerank is the reference-compat recall+rerank; auto = "
+                        "exact for all-dense, rerank for hybrid")
+    p.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                   help="auto: shard the corpus over all visible chips and "
+                        "serve with distributed top-k; off: single chip")
     args = p.parse_args(argv)
     resolve_data_dirs(args)
 
@@ -96,6 +103,14 @@ def main(argv=None) -> None:
     else:
         matrix = build_dense_corpus_matrix(encode, tokenizer, corpus, dense_fields)
 
+    mesh = None
+    if args.mesh == "auto" and len(jax.devices()) > 1 and not args.quantize \
+            and not args.use_pallas_gather:
+        from mfar_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"[retrieve] mesh: {dict(mesh.shape)}")
+
     sparse_indices = load_or_build_sparse_indices(corpus, field_info, args.lexical_index)
     engine = RetrievalEngine(
         field_info=field_info,
@@ -108,6 +123,8 @@ def main(argv=None) -> None:
         recall_k=args.recall_k,
         use_pallas_gather=args.use_pallas_gather,
         quantize=args.quantize,
+        mesh=mesh,
+        mode=args.mode,
     )
 
     qids = list(queries)

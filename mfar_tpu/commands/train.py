@@ -79,6 +79,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefix", action="store_true")
     p.add_argument("--run-one-iteration", action="store_true")
     p.add_argument("--use-batchnorm", action="store_true")
+    p.add_argument("--in-batch-negative", dest="in_batch", action="store_true", default=True)
+    p.add_argument("--no-in-batch-negative", dest="in_batch", action="store_false",
+                   help="own-negatives-only simple loss (reference "
+                        "in_batch_negative=False branch)")
     p.add_argument("--prng", default="rbg", choices=["rbg", "threefry"],
                    help="PRNG impl for dropout etc.; rbg uses the TPU hardware "
                         "generator (measured ~11%% faster steps with dropout on)")
@@ -92,6 +96,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "encoders; the 1+2F encoder passes per step OOM at "
                         "contriever scale without it)")
     p.add_argument("--recall-k", type=int, default=100)
+    p.add_argument("--retrieval-mode", default="auto", choices=["auto", "exact", "rerank"],
+                   help="eval serving mode: exact fuses full-corpus scoring "
+                        "(hybrid-capable); rerank is the reference-compat "
+                        "recall+rerank; auto = exact for all-dense, rerank for hybrid")
+    p.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                   help="auto: build a device mesh over all visible chips and "
+                        "shard the train batch, optimizer state, and eval corpus "
+                        "(the reference's DDP default, devices=-1); off: single chip")
+    p.add_argument("--n-model", type=int, default=1,
+                   help="tensor-parallel mesh axis size (shards encoder params)")
+    p.add_argument("--n-replica", type=int, default=1,
+                   help="cross-slice (DCN) data-parallel axis size")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in --out (exact resume: "
                    "params + optimizer + batchnorm + rng)")
@@ -172,6 +188,7 @@ def main(argv=None) -> None:
         query_cond=args.query_cond,
         use_batchnorm=args.use_batchnorm,
         temperature=args.temperature,
+        in_batch=args.in_batch,
     )
     optimizer = make_optimizer(
         encoder_lr=args.encoder_lr,
@@ -203,6 +220,32 @@ def main(argv=None) -> None:
         args.dev_max_length,
     )
 
+    # Multi-chip by default, like the reference's DDPStrategy(devices=-1)
+    # (reference: mfar/commands/train.py:246-250) -- one GSPMD mesh instead.
+    mesh = None
+    n_dev = len(jax.devices())
+    if args.mesh == "auto" and (n_dev > 1 or args.n_model > 1 or args.n_replica > 1):
+        from mfar_tpu.parallel.mesh import make_mesh
+
+        n_data = n_dev // (args.n_model * args.n_replica)
+        # The batch must divide over the data shards; shrink the data axis
+        # (leaving spare chips idle) rather than die -- a batch of 4 simply
+        # cannot data-parallel 8 ways.
+        while n_data > 1 and args.train_batch_size % (n_data * args.n_replica):
+            n_data -= 1
+        if args.train_batch_size % (n_data * args.n_replica):
+            raise SystemExit(
+                f"--train-batch-size {args.train_batch_size} is not divisible "
+                f"by --n-replica {args.n_replica}"
+            )
+        used = n_data * args.n_model * args.n_replica
+        mesh = make_mesh(
+            n_data=n_data, n_model=args.n_model, n_replica=args.n_replica,
+            devices=jax.devices()[:used],
+        )
+        note = f" ({n_dev - used} devices idle: batch {args.train_batch_size})" if used < n_dev else ""
+        print(f"[train] mesh: {dict(mesh.shape)} over {used}/{n_dev} devices{note}")
+
     cfg = TrainerConfig(
         out_dir=args.out,
         max_epochs=args.max_epochs,
@@ -216,6 +259,7 @@ def main(argv=None) -> None:
         recall_k=args.recall_k,
         query_max_length=args.dev_max_length,
         prefix=args.prefix,
+        retrieval_mode=args.retrieval_mode,
     )
     logger = MetricsLogger(args.out, backend=args.logger, run_name=args.experiment_name)
     logger.log_hyperparams(vars(args))
@@ -235,7 +279,7 @@ def main(argv=None) -> None:
         dev_qrels_path=os.path.join(args.queries, f"{args.partition}.qrels"),
         config=cfg, sparse_indices=sparse_indices,
         additional_queries=additional_queries, additional_qrels_path=additional_qrels,
-        logger=logger,
+        logger=logger, mesh=mesh,
     )
 
     start_epoch = 0

@@ -13,6 +13,15 @@ RetrievalTrainingModule hooks, mfar/modeling/contrastive.py:465-631):
   (reference: mfar/commands/train.py:88,251);
 - ``run_one_iteration`` smoke mode limits train/val to one batch.
 
+Distribution: pass a ``mesh`` and the trainer shards parameters/optimizer
+state by the path rules in :mod:`mfar_tpu.parallel.sharding` (replicated
+over the batch axes, tensor-parallel over 'model'), shards every train
+batch over the batch axes, and hands the same mesh to the retrieval engine
+so eval scans the corpus sharded -- replacing the reference's default
+multi-GPU posture (``DDPStrategy(devices=-1)``, reference:
+mfar/commands/train.py:246-250) with GSPMD.  The train step donates the
+state (params + optimizer moments update in place, no double-buffer).
+
 No per-rank qres files, no dedup-merge, no filesystem barriers: one process
 drives the mesh, so eval writes one qres file directly.
 """
@@ -35,7 +44,7 @@ from mfar_tpu.data.types import Corpus, Field
 from mfar_tpu.eval.index_build import build_dense_corpus_matrix
 from mfar_tpu.eval.retrieval import RetrievalEngine
 from mfar_tpu.train.checkpoint import CheckpointManager
-from mfar_tpu.train.data_pipeline import ContrastiveDataset, strip_meta
+from mfar_tpu.train.data_pipeline import ContrastiveDataset, prefetch, strip_meta
 from mfar_tpu.train.train_step import TrainState, make_eval_loss_step, make_train_step
 from mfar_tpu.utils.logging import MetricsLogger
 from mfar_tpu.utils.timing import Timer
@@ -67,6 +76,8 @@ class TrainerConfig:
     query_max_length: int = 512
     monitor: str = "valid_loss"
     prefix: bool = False
+    retrieval_mode: str = "auto"  # auto|exact|rerank (engine serving mode)
+    prefetch_depth: int = 2  # host batches prepared ahead of the device
 
 
 class Trainer:
@@ -86,6 +97,7 @@ class Trainer:
         additional_queries: Optional[Mapping[str, str]] = None,
         additional_qrels_path: Optional[str] = None,
         logger: Optional[MetricsLogger] = None,
+        mesh=None,  # jax.sharding.Mesh: shard state, batches, and the corpus
     ):
         self.model = model
         self.optimizer = optimizer
@@ -105,12 +117,61 @@ class Trainer:
 
         os.makedirs(config.out_dir, exist_ok=True)
         self.ckpt = CheckpointManager(config.out_dir, monitor=config.monitor)
-        self.train_step = jax.jit(make_train_step(model, optimizer))
+        # Donating the state halves its HBM footprint across the update
+        # (params + AdamW moments rewrite in place; >1.3 GB saved at
+        # contriever scale) -- the old state is invalid after each step,
+        # which fit() respects by threading the new one.
+        self.train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
         self.eval_step = jax.jit(make_eval_loss_step(model))
         self.best_score = 0.0
         self.mask: Optional[np.ndarray] = None
         self.masked_fields_string = ""
         self._jit_encode = None
+
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mfar_tpu.parallel.mesh import batch_axes, n_batch_shards
+
+            self._n_dp = n_batch_shards(mesh)
+            assert config.train_batch_size % self._n_dp == 0, (
+                f"train_batch_size {config.train_batch_size} must divide over "
+                f"the {self._n_dp} batch shards of mesh {dict(mesh.shape)}"
+            )
+            self._batch_sharding = NamedSharding(mesh, P(batch_axes(mesh)))
+
+    # ------------------------------------------------------------------
+
+    def place_state(self, state: TrainState) -> TrainState:
+        """Shard params + optimizer state over the mesh by the path rules
+        (moments mirror the param tree, so the same rules apply); replicate
+        the small leaves.  No-op without a mesh."""
+        if self.mesh is None:
+            return state
+        from mfar_tpu.parallel.sharding import shard_params
+
+        return TrainState(
+            params=shard_params(self.mesh, state.params),
+            batch_stats=shard_params(self.mesh, state.batch_stats),
+            opt_state=shard_params(self.mesh, state.opt_state),
+            step=state.step,
+            rng=state.rng,
+        )
+
+    def _place_batch(self, batch):
+        """Shard every batch leaf over the batch axes (leading dim is B or
+        B*Nn, both multiples of the shard count)."""
+        if self._batch_sharding is None:
+            return batch
+        return jax.tree.map(
+            lambda x: jax.device_put(x, self._batch_sharding)
+            if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1
+            and x.shape[0] % self._n_dp == 0
+            else x,
+            batch,
+        )
 
     # ------------------------------------------------------------------
 
@@ -154,26 +215,37 @@ class Trainer:
             query_max_length=self.cfg.query_max_length,
             recall_k=self.cfg.recall_k,
             mask=self.mask,
+            mesh=self.mesh,
+            mode=self.cfg.retrieval_mode,
         )
 
     # ------------------------------------------------------------------
 
     def train_epoch(self, state: TrainState, epoch: int) -> tuple:
+        """One epoch over a background-prefetched batch stream: host batch
+        assembly (tokenize, BM25 negatives, sparse tensors) overlaps device
+        compute, and per-step losses stay device-resident until the epoch
+        ends (a per-step host fetch would serialize on the device
+        round-trip)."""
         losses = []
         val_losses = []
-        batches = list(
-            self.train_dataset.epoch_batches(self.cfg.train_batch_size, seed=self.cfg.seed + epoch)
-        )
+        n = self.train_dataset.num_batches(self.cfg.train_batch_size)
         if self.cfg.run_one_iteration:
-            batches = batches[:1]
-        n = len(batches)
+            n = min(n, 1)
         val_every = max(1, n // 5) if self.cfg.dev_by_iter else n + 1
-        for i, batch in enumerate(batches):
+        it = self.train_dataset.epoch_batches(
+            self.cfg.train_batch_size, seed=self.cfg.seed + epoch
+        )
+        for i, batch in enumerate(prefetch(it, depth=self.cfg.prefetch_depth)):
+            if i >= n:
+                break
+            batch = self._place_batch(strip_meta(batch))
             with self.timer.phase("train_step"):
-                state, metrics = self.train_step(state, strip_meta(batch))
-            losses.append(float(metrics["loss"]))
+                state, metrics = self.train_step(state, batch)
+            losses.append(metrics["loss"])  # device scalar; fetched at epoch end
             if (i + 1) % val_every == 0 and i + 1 < n:
                 val_losses.append(self.validate_proxy(state))
+        losses = [float(x) for x in losses]
         return state, float(np.mean(losses)) if losses else 0.0, val_losses
 
     def validate_proxy(self, state: TrainState) -> float:
@@ -215,6 +287,7 @@ class Trainer:
 
     def fit(self, state: TrainState, start_epoch: int = 0) -> TrainState:
         cfg = self.cfg
+        state = self.place_state(state)
         best_monitor = float("inf")
         epochs_without_improvement = 0
 

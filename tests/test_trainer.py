@@ -143,10 +143,17 @@ def test_test_and_mask_fields(setup):
 
 
 def test_trained_model_beats_random_init(setup):
-    """After training, dev retrieval should beat the random-init engine."""
+    """After training, retrieval on the TRAINING queries must beat the
+    random-init engine by a margin (the dev split here is 4 queries --
+    too small for a stable gate; the hard material-improvement gates live
+    in tests/test_quality_gates.py)."""
     t = setup["trainer"]
     trained = setup["state_after"]
     fresh = init_state(setup["model"], setup["opt"], seed=123)
-    m_trained = t.trec_eval(trained, t.dev_queries, t.dev_qrels_path, "cmp-trained")
-    m_fresh = t.trec_eval(fresh, t.dev_queries, t.dev_qrels_path, "cmp-fresh")
-    assert m_trained["ndcg_cut_10"] >= m_fresh["ndcg_cut_10"]
+    train_queries = t.train_dataset.queries
+    train_qrels_path = os.path.join(os.path.dirname(t.dev_qrels_path), "train.qrels")
+    m_trained = t.trec_eval(trained, train_queries, train_qrels_path, "cmp-trained")
+    m_fresh = t.trec_eval(fresh, train_queries, train_qrels_path, "cmp-fresh")
+    assert m_trained["ndcg_cut_10"] >= m_fresh["ndcg_cut_10"] + 0.05, (
+        m_fresh["ndcg_cut_10"], m_trained["ndcg_cut_10"],
+    )
