@@ -100,6 +100,33 @@ def dense_field_components(
     return pos, neg
 
 
+def decomposed_simple_loss(
+    q: jax.Array,  # [B, E]
+    d_pos: jax.Array,  # [B, F, E]
+    d_neg: jax.Array,  # [B, F, Nn, E]
+    mix_fn: MixFn,
+    temperature: float = 0.01,
+) -> jax.Array:
+    """Multi-field own-negatives-only loss: the ``in_batch_negative=False``
+    branch of the decomposed/hybrid losses (reference:
+    mfar/modeling/losses.py:86-110, dispatched at :133,:172,:240).
+
+    Each query scores only its own positive and its own sampled negatives
+    per field; the mixer folds the field axis; the positive sits at column
+    0 of the softmax.  The reference applies neither sparse scores nor the
+    reverse direction on this branch -- kept identical."""
+    pos = jnp.einsum("be,bfe->bf", q, d_pos, preferred_element_type=jnp.float32)
+    pos = pos[:, None, :] / temperature  # [B, 1, F]
+    neg = (
+        jnp.einsum("be,bfne->bnf", q, d_neg, preferred_element_type=jnp.float32)
+        / temperature
+    )  # [B, Nn, F]
+    scores_pos = mix_fn(pos, q)  # [B, 1]
+    scores_neg = mix_fn(neg, q)  # [B, Nn]
+    all_scores = jnp.concatenate([scores_pos, scores_neg], axis=1)
+    return -jnp.mean(jax.nn.log_softmax(all_scores, axis=-1)[:, 0])
+
+
 def decomposed_contrastive_loss(
     q: jax.Array,
     d_pos: jax.Array,  # [B, F, E]

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from mfar_tpu.models import build_encoder, encoder_dim
 from mfar_tpu.models.encoder import EncoderConfig
-from mfar_tpu.train.losses import hybrid_contrastive_loss
+from mfar_tpu.train.losses import decomposed_simple_loss, hybrid_contrastive_loss
 
 
 class FieldMixer(nn.Module):
@@ -63,6 +63,8 @@ class MFARModel(nn.Module):
     use_batchnorm: bool = False
     temperature: float = 0.05
     reverse: bool = True
+    in_batch: bool = True  # False: own-negatives-only simple loss (reference
+    #                        in_batch_negative=False, losses.py:86-110)
 
     def setup(self):
         self.encoder = build_encoder(self.encoder_config, name="encoder")
@@ -150,6 +152,15 @@ class MFARModel(nn.Module):
             neg_embs = None
             sparse_neg = None
 
+        if not self.in_batch:
+            assert neg_embs is not None, "simple loss needs sampled negatives"
+            return decomposed_simple_loss(
+                q.astype(jnp.float32),
+                pos_embs.astype(jnp.float32),
+                neg_embs.astype(jnp.float32),
+                mix_fn=self.mix,
+                temperature=self.temperature,
+            )
         return hybrid_contrastive_loss(
             q.astype(jnp.float32),
             pos_embs.astype(jnp.float32),

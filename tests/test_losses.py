@@ -6,6 +6,7 @@ import jax.numpy as jnp
 
 from mfar_tpu.train.losses import (
     contrastive_loss,
+    decomposed_simple_loss,
     dense_field_components,
     hybrid_contrastive_loss,
 )
@@ -141,6 +142,72 @@ def test_neg_flattening_doc_major(data):
     m, j = 3, 1
     want = d["q"] @ d["d_neg"][m, :, j, :].T  # [B, F]
     np.testing.assert_allclose(np.asarray(neg)[:, m * Nn + j, :], want, rtol=1e-5)
+
+
+def test_decomposed_simple_loss_matches_manual(data):
+    """Multi-field in_batch_negative=False branch (reference
+    mfar/modeling/losses.py:86-110): own positive at column 0, own negatives
+    only, per-field scores mixed, no reverse, no sparse."""
+    d = data
+    got = decomposed_simple_loss(
+        jnp.asarray(d["q"]), jnp.asarray(d["d_pos"]), jnp.asarray(d["d_neg"]),
+        mix_fn=_mk_mix(d["Wd"]), temperature=0.05,
+    )
+    w = softmax_np(d["q"] @ d["Wd"])  # [B, F]
+    pos_pf = np.einsum("be,bfe->bf", d["q"], d["d_pos"]) / 0.05  # [B, F]
+    neg_pf = np.einsum("be,bfne->bnf", d["q"], d["d_neg"]) / 0.05  # [B, Nn, F]
+    scores = np.concatenate(
+        [np.einsum("bf,bf->b", pos_pf, w)[:, None], np.einsum("bnf,bf->bn", neg_pf, w)],
+        axis=1,
+    )
+    want = -np.mean(log_softmax_np(scores)[:, 0])
+    np.testing.assert_allclose(float(got), want, rtol=1e-5)
+
+
+def test_simple_loss_perfect_alignment():
+    """Aligned positives + orthogonal negatives -> near-zero simple loss."""
+    q = np.eye(4, 8, dtype=np.float32) * 10
+    d_pos = np.repeat(q[:, None, :], 2, axis=1)
+    d_neg = np.zeros((4, 2, 3, 8), np.float32)
+    loss = decomposed_simple_loss(
+        jnp.asarray(q), jnp.asarray(d_pos), jnp.asarray(d_neg),
+        mix_fn=_mk_mix(np.zeros((8, 2), np.float32)), temperature=0.05,
+    )
+    assert float(loss) < 1e-3
+
+
+def test_model_simple_loss_branch():
+    """MFARModel(in_batch=False) routes compute_loss through the simple
+    loss (finite, differs from the in-batch loss on the same batch)."""
+    from mfar_tpu.models import EncoderConfig
+    from mfar_tpu.train.model import MFARModel
+    from mfar_tpu.train.optim import make_optimizer
+    from mfar_tpu.train.train_step import init_state
+
+    rng = np.random.default_rng(0)
+    toks = lambda n, s: {
+        "input_ids": jnp.asarray(rng.integers(4, 64, size=(n, s)), jnp.int32),
+        "attention_mask": jnp.ones((n, s), jnp.int32),
+    }
+    batch = dict(
+        query=toks(4, 8),
+        pos={"a_dense": toks(4, 8), "b_dense": toks(4, 8)},
+        neg={"a_dense": toks(8, 8), "b_dense": toks(8, 8)},
+    )
+    cfg = EncoderConfig.tiny(vocab_size=64, hidden_size=16, num_layers=1, num_heads=2)
+    losses = {}
+    for in_batch in (True, False):
+        model = MFARModel(encoder_config=cfg, num_fields=2, in_batch=in_batch)
+        state = init_state(model, make_optimizer(1e-4, 1e-1), seed=0)
+        losses[in_batch] = float(
+            model.apply(
+                {"params": state.params},
+                batch["query"], batch["pos"], batch["neg"], None, None,
+                train=False, method=model.compute_loss,
+            )
+        )
+    assert np.isfinite(losses[False]) and losses[False] > 0
+    assert abs(losses[True] - losses[False]) > 1e-6
 
 
 def test_loss_sharded_batch_matches_single_device(data):
