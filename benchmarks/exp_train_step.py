@@ -1,0 +1,85 @@
+"""Train-step timing at the mag `all_dense` shape (BENCH_NOTES methodology).
+
+Contriever-base encoder (12L/768), 5 dense fields at the mag token budgets
+(512/512/512/64/64) + 64-token query, B=24, one sparse field, remat on,
+rbg PRNG, attention dropout 0.  Usage:
+
+    python benchmarks/exp_train_step.py [donate] [steps]
+
+Steps run back-to-back with device-resident losses; one scalar fetch ends
+the timed region (relay-safe single-fetch timing).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    donate = "donate" in sys.argv[1:] or True  # donation is the production path
+    steps = 6
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from mfar_tpu.models.encoder import EncoderConfig
+    from mfar_tpu.train.model import MFARModel
+    from mfar_tpu.train.optim import make_optimizer
+    from mfar_tpu.train.train_step import init_state, make_train_step
+
+    B = 24
+    budgets = {"title_dense": 512, "abstract_dense": 512, "cites_dense": 512,
+               "topic_dense": 64, "affil_dense": 64}
+    config = EncoderConfig(
+        vocab_size=30522, hidden_size=768, num_layers=12, num_heads=12,
+        intermediate_size=3072, max_position_embeddings=512,
+        hidden_dropout=0.1, attention_dropout=0.0, remat=True,
+        remat_policy=sys.argv[1] if len(sys.argv) > 1 and sys.argv[1] != "bf16sm" else "full",
+        softmax_dtype=jnp.bfloat16 if "bf16sm" in sys.argv[1:] else jnp.float32,
+    )
+    model = MFARModel(encoder_config=config, num_fields=len(budgets) + 1,
+                      query_cond=True, temperature=0.05)
+    opt = make_optimizer(encoder_lr=1e-4, weights_lr=1e-1)
+    state = init_state(model, opt, seed=0)
+
+    rng = np.random.default_rng(0)
+
+    def toks(n, s):
+        return {
+            "input_ids": jnp.asarray(rng.integers(1000, 30000, size=(n, s)), jnp.int32),
+            "attention_mask": jnp.ones((n, s), jnp.int32),
+        }
+
+    batch = {
+        "query": toks(B, 64),
+        "pos": {fk: toks(B, s) for fk, s in budgets.items()},
+        "neg": {fk: toks(B, s) for fk, s in budgets.items()},
+        "sparse_pos": jnp.asarray(rng.normal(size=(B, B, 1)), jnp.float32),
+        "sparse_neg": jnp.asarray(rng.normal(size=(B, B, 1)), jnp.float32),
+    }
+
+    step_fn = jax.jit(make_train_step(model, opt),
+                      donate_argnums=(0,) if donate else ())
+
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch)
+        last = metrics["loss"]
+    lv = float(last)  # single fetch ends the timed region
+    dt = (time.perf_counter() - t0) / steps
+    print(f"donate={donate}: {dt*1000:.0f} ms/step (loss {lv:.3f}, "
+          f"{B/dt:.1f} ex/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,11 @@ class EncoderConfig:
     attention_dropout: float = 0.1
     dtype: Any = jnp.bfloat16  # activation/compute dtype
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM)
+    # Remat policy: "full" recomputes the whole layer in the backward pass
+    # (minimum HBM); "dots" saves dense-matmul outputs (QKV, attn-out, MLP)
+    # and recomputes only the un-saveable rest (attention scores, which
+    # carry batch dims, plus elementwise) -- more HBM, less recompute.
+    remat_policy: str = "full"
     # "xla" (default): let XLA schedule attention -- measured FASTER than the
     # generic Pallas flash kernel at retrieval shapes on v5e (fwd [256,512]:
     # 340 ms vs 558 ms; mag train step: 933 ms vs 1543 ms), i.e. don't
@@ -53,6 +58,11 @@ class EncoderConfig:
     # XLA path vs an f32 reference) for shapes where it may win; auto gates
     # on TPU + block-aligned seq + inactive attention dropout.
     attention_impl: str = "xla"
+    # Softmax accumulation dtype for attention probs.  f32 (default) matches
+    # torch numerics; bf16 halves the [B, H, S, S] HBM traffic that
+    # dominates the un-fused attention at seq 512 (max-subtracted softmax is
+    # stable in bf16; embeddings shift by ~1e-3 relative).
+    softmax_dtype: Any = jnp.float32
     normalize: bool = False  # L2-normalize sentence embeddings
 
     @classmethod
@@ -152,10 +162,11 @@ class TransformerLayer(nn.Module):
             ctx = ctx.transpose(0, 2, 1, 3).reshape(batch, seq, cfg.hidden_size)
             ctx = ctx.astype(cfg.dtype)
         else:
-            # fp32 logits + softmax for stability; contraction on the MXU.
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-            logits = logits / jnp.sqrt(jnp.asarray(head_dim, jnp.float32))
-            logits = logits + mask_bias  # [B, 1, 1, S] additive mask
+            # softmax_dtype logits + softmax; contraction on the MXU.
+            sm_dtype = cfg.softmax_dtype
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=sm_dtype)
+            logits = logits / jnp.sqrt(jnp.asarray(head_dim, sm_dtype))
+            logits = logits + mask_bias.astype(sm_dtype)  # [B, 1, 1, S] additive mask
             probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
             probs = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(batch, seq, cfg.hidden_size)
@@ -165,6 +176,13 @@ class TransformerLayer(nn.Module):
         hidden = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln1", dtype=jnp.float32)(
             hidden + attn_out
         ).astype(cfg.dtype)
+        # Checkpoint name for the "attn_out" remat policy: saving just this
+        # [T, H] residual point (~125 MB/layer at mag shapes) lets the MLP
+        # backward skip recomputing the whole attention block (QKV + the
+        # [B, H, S, S] score matmuls -- the dominant recompute at seq 512).
+        from jax.ad_checkpoint import checkpoint_name
+
+        hidden = checkpoint_name(hidden, "attn_residual")
 
         mlp = dense(cfg.intermediate_size, "mlp_in")(hidden)
         mlp = nn.gelu(mlp, approximate=False)
@@ -215,7 +233,13 @@ class Encoder(nn.Module):
 
         scan_body = _ScannedLayer
         if cfg.remat:
-            scan_body = nn.remat(_ScannedLayer, prevent_cse=False)
+            policy = None
+            if cfg.remat_policy == "dots":
+                # measured mag all_dense B=24: OOM (18.8 GB demanded vs 15.75)
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            elif cfg.remat_policy == "attn_out":
+                policy = jax.checkpoint_policies.save_only_these_names("attn_residual")
+            scan_body = nn.remat(_ScannedLayer, prevent_cse=False, policy=policy)
         stack = nn.scan(
             scan_body,
             variable_axes={"params": 0},

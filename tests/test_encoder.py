@@ -88,6 +88,51 @@ def test_remat_matches_plain(tiny):
     np.testing.assert_allclose(np.asarray(plain), np.asarray(remat), atol=1e-5)
 
 
+def test_bf16_softmax_close_to_f32(tiny):
+    """softmax_dtype=bf16 (the measured 826->726 ms/step training knob) must
+    track the f32 softmax closely: near-unit cosine similarity of the
+    pooled embeddings."""
+    import dataclasses
+
+    cfg32 = dataclasses.replace(tiny[0], dtype=jnp.float32)
+    cfg16 = dataclasses.replace(cfg32, softmax_dtype=jnp.bfloat16)
+    params = init_params(cfg32, seed=0)
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg32.vocab_size, size=(4, 24)), jnp.int32)
+    mask = jnp.ones((4, 24), jnp.int32)
+    e32 = np.asarray(Encoder(cfg32).apply({"params": params}, ids, mask))
+    e16 = np.asarray(Encoder(cfg16).apply({"params": params}, ids, mask))
+    cos = np.sum(e32 * e16, -1) / (
+        np.linalg.norm(e32, axis=-1) * np.linalg.norm(e16, axis=-1)
+    )
+    assert np.all(cos > 0.999), cos
+    np.testing.assert_allclose(e16, e32, rtol=5e-2, atol=5e-2)
+
+
+def test_remat_policies_match_plain(tiny):
+    """Every remat policy computes the same function (only the backward
+    memory/recompute schedule differs)."""
+    import dataclasses
+
+    base = dataclasses.replace(tiny[0], dtype=jnp.float32, remat=False)
+    params = init_params(base, seed=0)
+    rng = np.random.default_rng(1)
+    ids = jnp.asarray(rng.integers(0, base.vocab_size, size=(3, 16)), jnp.int32)
+    mask = jnp.ones((3, 16), jnp.int32)
+    want = np.asarray(Encoder(base).apply({"params": params}, ids, mask))
+    for policy in ("full", "dots", "attn_out"):
+        cfg = dataclasses.replace(base, remat=True, remat_policy=policy)
+
+        def loss(p):
+            return Encoder(cfg).apply({"params": p}, ids, mask).sum()
+
+        out = np.asarray(Encoder(cfg).apply({"params": params}, ids, mask))
+        np.testing.assert_allclose(out, want, atol=1e-5, err_msg=policy)
+        g = jax.grad(loss)(params)  # backward compiles and is finite
+        leaves = jax.tree.leaves(g)
+        assert all(np.all(np.isfinite(l)) for l in leaves), policy
+
+
 def test_hf_parity_torch_bert():
     """Outputs must match torch's BertModel + mean pooling on the same
     (random) weights -- validates architecture + converter together."""
