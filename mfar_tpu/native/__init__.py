@@ -47,6 +47,12 @@ def load_library():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.mfar_bm25_postings_size.restype = ctypes.c_int64
+    lib.mfar_bm25_postings_size.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.mfar_bm25_postings.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+    ]
     lib.mfar_bm25_save.restype = ctypes.c_int32
     lib.mfar_bm25_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.mfar_bm25_load.restype = ctypes.c_void_p
@@ -142,6 +148,21 @@ class NativeBM25:
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         return out
+
+    def get_postings(self, query: str) -> Tuple[np.ndarray, np.ndarray]:
+        """Concatenated (doc_ids, impacts) of the query's terms -- one entry
+        per term occurrence (consumers scatter-add)."""
+        q = query.encode("utf-8")
+        n = int(self._lib.mfar_bm25_postings_size(self._handle, q))
+        ids = np.zeros(n, np.int32)
+        vals = np.zeros(n, np.float32)
+        if n:
+            self._lib.mfar_bm25_postings(
+                self._handle, q,
+                ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+        return ids, vals
 
     def retrieve(self, query: str, top_k: int) -> Tuple[np.ndarray, np.ndarray]:
         ids = np.full(top_k, -1, np.int32)

@@ -445,6 +445,36 @@ void mfar_bm25_score_batch(void* handle, const char** queries,
     score_query(idx, queries[q], out_scores + (int64_t)q * idx->n_docs);
 }
 
+// Concatenated postings of the query's terms (one entry per term
+// occurrence; consumers scatter-ADD, so duplicate doc ids sum exactly like
+// the dense score vector).  Two-call protocol: size, then fill.
+int64_t mfar_bm25_postings_size(void* handle, const char* query) {
+  auto* idx = static_cast<BM25*>(handle);
+  int64_t total = 0;
+  for (auto& tok : tokenize(query, /*stem=*/true)) {
+    auto it = idx->vocab.find(tok);
+    if (it == idx->vocab.end()) continue;
+    int32_t t = it->second;
+    total += idx->indptr[t + 1] - idx->indptr[t];
+  }
+  return total;
+}
+
+void mfar_bm25_postings(void* handle, const char* query, int32_t* out_ids,
+                        float* out_vals) {
+  auto* idx = static_cast<BM25*>(handle);
+  int64_t pos = 0;
+  for (auto& tok : tokenize(query, /*stem=*/true)) {
+    auto it = idx->vocab.find(tok);
+    if (it == idx->vocab.end()) continue;
+    int32_t t = it->second;
+    for (int64_t p = idx->indptr[t]; p < idx->indptr[t + 1]; ++p, ++pos) {
+      out_ids[pos] = idx->doc_ids[p];
+      out_vals[pos] = idx->impacts[p];
+    }
+  }
+}
+
 // serialize: [n_docs, k1, b, vocab_size, nnz, vocab entries, indptr, doc_ids, impacts]
 int32_t mfar_bm25_save(void* handle, const char* path) {
   auto* idx = static_cast<BM25*>(handle);

@@ -48,6 +48,21 @@ def test_scores_match_naive_formula(index):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_postings_batch_scatter_equals_dense_scores(index):
+    """get_postings_batch (the device-densification feed for exact hybrid)
+    must scatter-add back to exactly the dense score vectors, duplicates and
+    unknown terms included, on both backends."""
+    queries = ["red shoe", "red red lamp", "missing zebra", ""]
+    n = len(index.keys)
+    ids, vals = index.get_postings_batch(queries, pad_multiple=4)
+    assert ids.shape == vals.shape and ids.shape[1] % 4 == 0
+    dense = index.get_scores_batch(queries)
+    for qi in range(len(queries)):
+        acc = np.zeros(n, np.float32)
+        np.add.at(acc, ids[qi], vals[qi])
+        np.testing.assert_allclose(acc, dense[qi], rtol=1e-5, atol=1e-6)
+
+
 def test_duplicate_query_terms_double_count(index):
     np.testing.assert_allclose(
         index.get_scores("red red"), 2 * index.get_scores("red"), rtol=1e-5
