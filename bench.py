@@ -1,32 +1,40 @@
-"""Benchmark: fused multi-field full-corpus scoring + top-k QPS on one chip.
+"""Benchmark: the serving/training engine on one TPU chip.
 
-The flagship serving op -- what the reference does with per-field CPU torch
-matmuls over memmap chunks + python rerank (reference:
-mfar/data/index.py:181-232, mfar/modeling/contrastive.py:669-704) -- run as
-folded [B, F*E] x [F*E, chunk] bf16 MXU matmuls with a fused running top-k
-(``mfar_tpu.ops.scoring.dense_topk_chunked_approx``: lax.approx_max_k per
-chunk, recall>=0.95, exact merge).  Chunking keeps only [B, chunk] scores
-alive instead of the full [B, N] f32 matrix.
+Headline: fused multi-field full-corpus scoring + top-k QPS (the flagship
+serving op -- what the reference does with per-field CPU torch matmuls over
+memmap chunks + python rerank, reference: mfar/data/index.py:181-232,
+mfar/modeling/contrastive.py:669-704).  `extra` adds the ENGINE numbers the
+op alone doesn't show:
 
-Methodology: all Q query batches run inside ONE jitted lax.scan and the
-timed region ends with a single scalar host fetch, so the TPU-tunnel
-round-trip (~35 ms on this rig) is paid once per measurement, not per
-batch.  See BENCH_NOTES.md.
+- engine_dense_exact_qps / engine_hybrid_exact_qps: RetrievalEngine.retrieve
+  end-to-end (tokenize + encode + fold + fused top-k + id mapping; hybrid
+  additionally streams BM25 postings and densifies on device) over a 1M-doc
+  corpus with a contriever-base-shape encoder;
+- topk_b512_qps: the fused op at B=512 with ids (the round-1 cliff);
+- train_step_ms: mag all_dense-shape step (contriever-base, B=24, remat,
+  rbg, attention-dropout 0, bf16 softmax -- the recommended flags);
+- index_build_docs_per_s: corpus encoding throughput (fwd-only, seq 512).
 
-Baseline: the reference's algorithm (torch CPU matmul + topk) measured on
-this host over a corpus slice and scaled linearly in N.
+Methodology: every timed region runs device work inside one jitted program
+per dispatch round and ends with a single scalar/array host fetch -- the
+TPU relay on this rig has ~35 ms round-trips and a non-blocking
+block_until_ready, so per-batch fetches would dominate (see BENCH_NOTES.md).
+Each section is independently try/except'd: the one JSON line always prints.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: the reference's own retrieval algorithm (torch CPU matmul + topk)
+measured on this host over a corpus slice and scaled linearly in N.
+
+Set MFAR_BENCH_FAST=1 to print the headline only (~2 min instead of ~10).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-B = 256  # query batch (serving sweet spot: past this, the live index
-#          output of the PartialReduce top-k halves throughput)
+B = 256  # headline query batch
 Q = 40  # batches per timed program
 F = 5  # dense fields (mag all_dense)
 E = 768  # contriever dim
@@ -36,22 +44,27 @@ CHUNK = 524288
 N_BASE = 50_000  # baseline slice (scaled linearly)
 
 
-def tpu_qps() -> float:
+def make_docs():
+    import jax
+    import jax.numpy as jnp
+
+    return jax.random.normal(jax.random.PRNGKey(0), (N, F * E), jnp.bfloat16)
+
+
+def op_qps(docs, b: int, q_batches: int) -> float:
     import jax
     import jax.numpy as jnp
 
     from mfar_tpu.ops.scoring import dense_topk_chunked_approx
 
-    docs = jax.random.normal(jax.random.PRNGKey(0), (N, F * E), jnp.bfloat16)
-    qs = jax.random.normal(jax.random.PRNGKey(1), (Q, B, F * E), jnp.bfloat16)
+    qs = jax.random.normal(jax.random.PRNGKey(1), (q_batches, b, F * E), jnp.bfloat16)
 
     @jax.jit
     def run_all(qs, d):
         def step(_, q):
-            s, i = dense_topk_chunked_approx(
-                q, d, jnp.int32(N), k=K, chunk_size=CHUNK
-            )
+            s, i = dense_topk_chunked_approx(q, d, jnp.int32(N), k=K, chunk_size=CHUNK)
             return None, s[:, 0].sum() + i[:, 0].max().astype(jnp.float32)
+
         _, outs = jax.lax.scan(step, None, qs)
         return outs.sum()
 
@@ -61,7 +74,7 @@ def tpu_qps() -> float:
         t0 = time.perf_counter()
         float(run_all(qs, docs))
         times.append(time.perf_counter() - t0)
-    return Q * B / min(times)
+    return q_batches * b / min(times)
 
 
 def baseline_qps() -> float:
@@ -83,9 +96,159 @@ def baseline_qps() -> float:
     return B / (dt * (N / N_BASE))
 
 
+def engine_world(docs):
+    """Shared serving world: tokenizer + contriever-shape encoder + queries."""
+    import numpy as np
+
+    from mfar_tpu.eval.index_build import make_encode_fn
+    from mfar_tpu.models import SimpleVocabTokenizer
+    from mfar_tpu.models.encoder import Encoder, EncoderConfig, init_params
+
+    rng = np.random.default_rng(0)
+    words = [f"w{i}" for i in range(5000)]
+    warr = np.array(words)
+    tok = SimpleVocabTokenizer.build([" ".join(words)], max_length=64)
+    config = EncoderConfig(vocab_size=tok.vocab_size, remat=False)
+    encode = make_encode_fn(Encoder(config), init_params(config, seed=0))
+    return dict(rng=rng, warr=warr, tok=tok, encode=encode)
+
+
+def engine_qps(docs, world, hybrid: bool, b: int) -> float:
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from mfar_tpu.data.schema import resolve_fields
+    from mfar_tpu.eval.retrieval import RetrievalEngine
+
+    rng, warr = world["rng"], world["warr"]
+    n_batches = 4
+    queries = [
+        " ".join(warr[rng.integers(0, 5000, size=8)]) for _ in range(b * n_batches)
+    ]
+    field_info = resolve_fields("all_dense" + (",title_sparse" if hybrid else ""), "mag")
+    sparse_indices = {}
+    if hybrid:
+        from mfar_tpu.sparse.bm25 import BM25Index
+
+        texts = [" ".join(warr[rng.integers(0, 5000, size=8)]) for _ in range(N)]
+        sparse_indices["title_sparse"] = BM25Index.create(
+            [(str(i), t) for i, t in enumerate(texts)]
+        )
+    engine = RetrievalEngine(
+        field_info=field_info,
+        doc_keys=[str(i) for i in range(N)],
+        encode_fn=world["encode"],
+        tokenizer=world["tok"],
+        mixer_params={"weight": jnp.asarray(
+            rng.normal(size=(E, F + (1 if hybrid else 0))).astype(np.float32))},
+        dense_matrix=docs,  # pre-flattened [N, F*E], already on device
+        sparse_indices=sparse_indices,
+        query_max_length=64,
+        mode="exact",
+    )
+    engine.retrieve(queries[:b], top_k=K)  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        engine.retrieve_many(queries, top_k=K, batch_size=b)  # pipelined serving
+        times.append(time.perf_counter() - t0)
+    return len(queries) / min(times)
+
+
+def train_step_ms() -> float:
+    """mag all_dense-shape step with the recommended perf flags."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from mfar_tpu.models.encoder import EncoderConfig
+    from mfar_tpu.train.model import MFARModel
+    from mfar_tpu.train.optim import make_optimizer
+    from mfar_tpu.train.train_step import init_state, make_train_step
+
+    b = 24
+    budgets = [512, 512, 512, 64, 64]
+    config = EncoderConfig(
+        hidden_dropout=0.1, attention_dropout=0.0, remat=True,
+        softmax_dtype=jnp.bfloat16,
+    )
+    model = MFARModel(encoder_config=config, num_fields=len(budgets) + 1,
+                      query_cond=True, temperature=0.05)
+    opt = make_optimizer(encoder_lr=1e-4, weights_lr=1e-1)
+    state = init_state(model, opt, seed=0)
+    rng = np.random.default_rng(0)
+
+    def toks(n, s):
+        return {
+            "input_ids": jnp.asarray(rng.integers(1000, 30000, size=(n, s)), jnp.int32),
+            "attention_mask": jnp.ones((n, s), jnp.int32),
+        }
+
+    batch = {
+        "query": toks(b, 64),
+        "pos": {f"f{i}_dense": toks(b, s) for i, s in enumerate(budgets)},
+        "neg": {f"f{i}_dense": toks(b, s) for i, s in enumerate(budgets)},
+        "sparse_pos": jnp.asarray(rng.normal(size=(b, b, 1)), jnp.float32),
+        "sparse_neg": jnp.asarray(rng.normal(size=(b, b, 1)), jnp.float32),
+    }
+    step_fn = jax.jit(make_train_step(model, opt), donate_argnums=(0,))
+    state, metrics = step_fn(state, batch)
+    float(metrics["loss"])  # compile + warm
+    steps = 6
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(steps):
+        state, metrics = step_fn(state, batch)
+        last = metrics["loss"]
+    float(last)
+    return (time.perf_counter() - t0) / steps * 1000
+
+
+def index_build_docs_per_s(world) -> float:
+    """Corpus encoding at the full 512-token field budget (the serving
+    world's tokenizer caps at 64 for queries, so build a 512 one here)."""
+    from mfar_tpu.eval.index_build import encode_texts
+    from mfar_tpu.models import SimpleVocabTokenizer
+
+    rng, warr = world["rng"], world["warr"]
+    tok512 = SimpleVocabTokenizer.build([" ".join(warr)], max_length=512)
+    texts = [" ".join(warr[rng.integers(0, 5000, size=500)]) for _ in range(2048)]
+    encode_texts(world["encode"], tok512, texts[:512], 512, 256)  # warm
+    t0 = time.perf_counter()
+    encode_texts(world["encode"], tok512, texts, 512, 256)
+    return len(texts) / (time.perf_counter() - t0)
+
+
 def main():
-    qps = tpu_qps()
+    extra = {}
+
+    def section(name, fn):
+        try:
+            t0 = time.perf_counter()
+            extra[name] = round(fn(), 2)
+            print(f"[bench] {name}={extra[name]} ({time.perf_counter()-t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # keep the JSON line alive
+            extra[name] = None
+            print(f"[bench] {name} FAILED: {e}", file=sys.stderr, flush=True)
+
+    docs = make_docs()
+    qps = op_qps(docs, B, Q)
     base = baseline_qps()
+
+    if not os.environ.get("MFAR_BENCH_FAST"):
+        world = engine_world(docs)
+        section("topk_b512_qps", lambda: op_qps(docs, 512, 16))
+        section("engine_dense_exact_qps", lambda: engine_qps(docs, world, False, 256))
+        section("engine_hybrid_exact_qps", lambda: engine_qps(docs, world, True, 64))
+        section("index_build_docs_per_s", lambda: index_build_docs_per_s(world))
+        del docs
+        section("train_step_ms", train_step_ms)
+
     print(
         json.dumps(
             {
@@ -93,6 +256,7 @@ def main():
                 "value": round(qps, 2),
                 "unit": "queries/s/chip (N=1M docs, F=5, E=768, k=100, bf16, B=256)",
                 "vs_baseline": round(qps / base, 2),
+                "extra": extra,
             }
         )
     )

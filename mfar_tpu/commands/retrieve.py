@@ -132,12 +132,11 @@ def main(argv=None) -> None:
     )
 
     qids = list(queries)
-    qres = []
     t0 = time.perf_counter()
-    for start in range(0, len(qids), args.batch_size):
-        chunk = qids[start : start + args.batch_size]
-        results = engine.retrieve([queries[q] for q in chunk], top_k=args.top_k)
-        qres.extend(engine.to_qres(chunk, results))
+    results = engine.retrieve_many(
+        [queries[q] for q in qids], top_k=args.top_k, batch_size=args.batch_size
+    )
+    qres = engine.to_qres(qids, results)
     dt = time.perf_counter() - t0
     trec.write_qres(args.out, qres)
     print(f"{len(qids)} queries in {dt:.2f}s ({len(qids)/dt:.1f} q/s) -> {args.out}")

@@ -28,7 +28,7 @@ the reference does (mfar/modeling/contrastive.py:686,706-714).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -264,6 +264,20 @@ class RetrievalEngine:
         same fused scan (:func:`mfar_tpu.ops.scoring.hybrid_topk_chunked`).
         Under int8 quantization (dense-only), exact up to the ~0.5% per-row
         quantization error."""
+        return self._finish_exact(self._dispatch_exact(queries, top_k))
+
+    def _finish_exact(self, dispatched) -> List[List[Tuple[str, float]]]:
+        if dispatched[0] == "host":
+            return dispatched[1]
+        _, top_s, top_i = dispatched
+        return self._to_keyed(*jax.device_get((top_s, top_i)))  # one fetch round-trip
+
+    def _dispatch_exact(self, queries: Sequence[str], top_k: int):
+        """Dispatch phase of exact retrieval: all host prep + async device
+        work, NO result fetch.  Returns ('device', top_s, top_i) device
+        arrays (or ('host', results) for sparse-only corpora) so
+        :meth:`retrieve_many` can pipeline batches -- the fetch round-trip
+        and the next batch's host prep then overlap device compute."""
         k = min(top_k, self.n_docs)
         q = self.encode_queries(queries)
         weights = self._field_weights(q)
@@ -286,10 +300,10 @@ class RetrievalEngine:
             part = np.argpartition(-total, k - 1, axis=1)[:, :k]
             part_s = np.take_along_axis(total, part, axis=1)
             order = np.argsort(-part_s, axis=1, kind="stable")
-            return self._to_keyed(
+            return ("host", self._to_keyed(
                 np.take_along_axis(part_s, order, axis=1),
                 np.take_along_axis(part, order, axis=1),
-            )
+            ))
 
         qflat = fold_queries(q, weights[:, :fd])
         if sparse_comb is None:
@@ -337,7 +351,7 @@ class RetrievalEngine:
                     jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
                     k=k, chunk_size=TOPK_CHUNK,
                 )
-        return self._to_keyed(*jax.device_get((top_s, top_i)))  # one fetch round-trip
+        return ("device", top_s, top_i)
 
     def retrieve_rerank(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
         """Recall (per-field top-k union) + rerank, the reference pipeline."""
@@ -455,6 +469,40 @@ class RetrievalEngine:
         top_s, top_pos = jax.device_get((top_s, top_pos))  # one fetch round-trip
         top_i = np.take_along_axis(cand, top_pos, axis=1)
         return self._to_keyed(top_s, top_i)
+
+    def retrieve_many(
+        self,
+        queries: Sequence[str],
+        top_k: int = 100,
+        mode: Optional[str] = None,
+        batch_size: int = 256,
+        window: int = 4,
+    ) -> List[List[Tuple[str, float]]]:
+        """Batched retrieval over an arbitrary query list, PIPELINED in exact
+        mode: up to ``window`` batches are dispatched (host tokenize/BM25
+        postings + async device scans) before the oldest result is fetched,
+        so the per-batch fetch round-trip and the next batch's host prep
+        hide under device compute.  Results match per-batch
+        :meth:`retrieve` exactly (same programs, same order)."""
+        mode = mode or self.mode
+        if mode == "auto":
+            mode = "exact" if (not self.sparse_keys and self.has_dense) else "rerank"
+        chunks = [
+            list(queries[s : s + batch_size]) for s in range(0, len(queries), batch_size)
+        ]
+        out: List[List[Tuple[str, float]]] = []
+        if mode == "rerank":  # host sync mid-pipeline (candidate union): sequential
+            for chunk in chunks:
+                out.extend(self.retrieve_rerank(chunk, top_k))
+            return out
+        pending: List[Any] = []
+        for chunk in chunks:
+            pending.append(self._dispatch_exact(chunk, top_k))
+            if len(pending) > window:
+                out.extend(self._finish_exact(pending.pop(0)))
+        for d in pending:
+            out.extend(self._finish_exact(d))
+        return out
 
     def retrieve(
         self, queries: Sequence[str], top_k: int = 100, mode: Optional[str] = None

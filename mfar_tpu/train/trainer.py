@@ -272,12 +272,13 @@ class Trainer:
         """Full retrieval eval: retrieve -> qres file -> trec metrics."""
         engine = engine or self.build_engine(state)
         qids = list(queries.keys())
-        qres: List[trec.QRes] = []
-        for start in range(0, len(qids), self.cfg.dev_batch_size):
-            chunk = qids[start : start + self.cfg.dev_batch_size]
-            with self.timer.phase("retrieve"):
-                results = engine.retrieve([queries[q] for q in chunk], top_k=self.cfg.top_k)
-            qres.extend(engine.to_qres(chunk, results))
+        with self.timer.phase("retrieve"):
+            results = engine.retrieve_many(
+                [queries[q] for q in qids],
+                top_k=self.cfg.top_k,
+                batch_size=self.cfg.dev_batch_size,
+            )
+        qres = engine.to_qres(qids, results)
         qres_path = os.path.join(self.cfg.out_dir, f"{tag}.qres")
         trec.write_qres(qres_path, qres)
         with self.timer.phase("trec_eval"):

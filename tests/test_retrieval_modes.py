@@ -157,6 +157,67 @@ def test_sparse_only_exact(world):
         assert [k for k, _ in hits] == want
 
 
+@pytest.mark.parametrize("mode", ["exact", "rerank"])
+def test_retrieve_many_matches_per_batch(world, mode):
+    """The pipelined multi-batch path must reproduce per-batch retrieve
+    exactly (same programs, same order), including a ragged last batch."""
+    w = world
+    eng = make_engine(w, recall_k=20)
+    queries = list(w["queries"].values())  # 10 queries, batch 4 -> 4+4+2
+    many = eng.retrieve_many(queries, top_k=5, mode=mode, batch_size=4, window=2)
+    assert len(many) == len(queries)
+    per_batch = []
+    for s in range(0, len(queries), 4):
+        per_batch.extend(eng.retrieve(queries[s : s + 4], top_k=5, mode=mode))
+    for hm, hp in zip(many, per_batch):
+        assert [k for k, _ in hm] == [k for k, _ in hp]
+        np.testing.assert_allclose(
+            [s for _, s in hm], [s for _, s in hp], rtol=1e-5
+        )
+
+
+def test_retrieve_many_sparse_only(world):
+    w = world
+    field_info = resolve_fields("title_sparse", "amazon")
+    eng = RetrievalEngine(
+        field_info=field_info,
+        doc_keys=list(w["corpus"].keys()),
+        encode_fn=w["encode_fn"],
+        tokenizer=w["tok"],
+        mixer_params={"weight": jnp.ones((1, 1), jnp.float32)},
+        dense_matrix=None,
+        sparse_indices={"title_sparse": w["sparse_indices"]["title_sparse"]},
+        query_max_length=64,
+    )
+    queries = list(w["queries"].values())[:5]
+    many = eng.retrieve_many(queries, top_k=4, mode="exact", batch_size=2)
+    single = eng.retrieve(queries, top_k=4, mode="exact")
+    assert [[k for k, _ in h] for h in many] == [[k for k, _ in h] for h in single]
+
+
+def test_engine_accepts_flat_matrix(world):
+    """Pre-flattened [N, Fd*E] corpus input (the device-resident layout)
+    must behave identically to the 3D [N, Fd, E] form."""
+    w = world
+    eng3 = make_engine(w)
+    flat = w["matrix"].reshape(w["matrix"].shape[0], -1)
+    engf = RetrievalEngine(
+        field_info=w["field_info"],
+        doc_keys=list(w["corpus"].keys()),
+        encode_fn=w["encode_fn"],
+        tokenizer=w["tok"],
+        mixer_params=w["mixer"],
+        dense_matrix=flat,
+        sparse_indices=w["sparse_indices"],
+        query_max_length=64,
+    )
+    assert engf.emb_dim == eng3.emb_dim
+    queries = list(w["queries"].values())[:4]
+    r3 = eng3.retrieve(queries, top_k=5, mode="exact")
+    rf = engf.retrieve(queries, top_k=5, mode="exact")
+    assert [[k for k, _ in h] for h in r3] == [[k for k, _ in h] for h in rf]
+
+
 # ---------------------------------------------------------------------------
 # ops
 
