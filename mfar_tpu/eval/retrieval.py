@@ -287,7 +287,7 @@ class RetrievalEngine:
         sparse_comb = None
         if self.sparse_keys:
             cleaned = [clean_query(t) for t in queries]
-            if self.mesh is None and self.has_dense and self.docs_q is None:
+            if self.mesh is None and self.has_dense:
                 sparse_comb = self._sparse_comb_device(cleaned, np.asarray(weights))
             else:
                 # mesh path shards a host-built [B, N]; sparse-only corpora
@@ -328,11 +328,14 @@ class RetrievalEngine:
                 )
         else:
             if self.docs_q is not None:
-                raise NotImplementedError(
-                    "exact hybrid + int8 quantization is not wired yet; "
-                    "use --quantize with the rerank mode"
+                from mfar_tpu.ops.scoring import hybrid_topk_chunked_int8
+
+                top_s, top_i = hybrid_topk_chunked_int8(
+                    qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
+                    jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
+                    k=k, chunk_size=TOPK_CHUNK,
                 )
-            if self.mesh is not None:
+            elif self.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 from mfar_tpu.parallel.topk import distributed_hybrid_topk

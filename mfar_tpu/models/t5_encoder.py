@@ -41,6 +41,9 @@ class T5Config:
     gated_ffn: bool = False  # True for T5 v1.1 (gelu gated)
     remat: bool = False  # rematerialize layers (trade FLOPs for HBM)
     dtype: Any = jnp.bfloat16
+    # Attention softmax dtype (see EncoderConfig.softmax_dtype): bf16 halves
+    # the [B, H, S, S] probs HBM traffic at a ~1e-3 embedding shift.
+    softmax_dtype: Any = jnp.float32
     projection_dim: Optional[int] = None  # GTR dense head (d_model -> dim)
     normalize: bool = False
 
@@ -107,8 +110,9 @@ class T5Layer(nn.Module):
         k = dense(inner, "attn_k")(x).reshape(shape)
         v = dense(inner, "attn_v")(x).reshape(shape)
         # T5 omits the 1/sqrt(d_kv) scaling.
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits + pos_bias + mask_bias
+        sm_dtype = cfg.softmax_dtype
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=sm_dtype)
+        logits = logits + pos_bias.astype(sm_dtype) + mask_bias.astype(sm_dtype)
         probs = jax.nn.softmax(logits, axis=-1).astype(cfg.dtype)
         probs = nn.Dropout(cfg.dropout)(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, s, inner)

@@ -437,6 +437,64 @@ def dense_topk_chunked_approx_int8(
     return top_s, top_i
 
 
+@partial(jax.jit, static_argnames=("k", "chunk_size"))
+def hybrid_topk_chunked_int8(
+    qflat: jax.Array,  # [B, F*E] folded queries (any float dtype)
+    docs_q: jax.Array,  # [N, F*E] int8 corpus (quantize_rows_int8)
+    doc_scales: jax.Array,  # [N] f32 per-row scales
+    sparse_comb: jax.Array,  # [B, N] combined (weight-mixed) sparse scores
+    valid_n: jax.Array,
+    k: int,
+    chunk_size: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 twin of :func:`hybrid_topk_chunked`: quantized dense scoring +
+    host-streamed sparse addition + exact per-chunk top-k.  The only
+    deviation from f32 hybrid retrieval is the dense-side quantization
+    error (sparse scores stay f32)."""
+    q8, q_scale = quantize_rows_int8(qflat)
+    n = docs_q.shape[0]
+    b = qflat.shape[0]
+
+    def dense_scores(chunk_docs, chunk_scales):
+        s = jnp.dot(q8, chunk_docs.T, preferred_element_type=jnp.int32).astype(jnp.float32)
+        return s * q_scale[:, None] * chunk_scales[None, :]
+
+    if n <= chunk_size:
+        s = dense_scores(docs_q, doc_scales) + sparse_comb.astype(jnp.float32)
+        idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+        s = jnp.where(idx < valid_n, s, -jnp.inf)
+        top_s, top_i = jax.lax.top_k(s, min(k, n))
+        return _pad_topk(top_s, top_i, k)
+    assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
+    assert k <= chunk_size, "top-k carry must fit in one chunk"
+    num_chunks = n // chunk_size
+    docs3 = docs_q.reshape(num_chunks, chunk_size, -1)
+    scales3 = doc_scales.reshape(num_chunks, chunk_size)
+    sparse3 = sparse_comb.reshape(b, num_chunks, chunk_size).transpose(1, 0, 2)
+    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
+
+    def chunk_topk(chunk_docs, chunk_scales, chunk_sparse, offset):
+        s = dense_scores(chunk_docs, chunk_scales) + chunk_sparse.astype(jnp.float32)
+        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+        s = jnp.where(idx < valid_n, s, -jnp.inf)
+        top_s, sel = jax.lax.top_k(s, k)
+        return top_s, offset + sel
+
+    def step(carry, inp):
+        top_s, top_i = carry
+        s, i = chunk_topk(*inp)
+        cat_s = jnp.concatenate([top_s, s], axis=1)
+        cat_i = jnp.concatenate([top_i, i], axis=1)
+        new_s, sel = jax.lax.top_k(cat_s, k)
+        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    init = chunk_topk(docs3[0], scales3[0], sparse3[0], offsets[0])
+    (top_s, top_i), _ = jax.lax.scan(
+        step, init, (docs3[1:], scales3[1:], sparse3[1:], offsets[1:])
+    )
+    return top_s, top_i
+
+
 def dense_topk_chunked_int8(qflat, docs_q, doc_scales, valid_n, k, chunk_size=131072):
     """Exact (up to quantization) int8 retrieval -- the quantized twin of
     :func:`dense_topk_chunked`."""

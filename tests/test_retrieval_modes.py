@@ -218,6 +218,34 @@ def test_engine_accepts_flat_matrix(world):
     assert [[k for k, _ in h] for h in r3] == [[k for k, _ in h] for h in rf]
 
 
+def test_exact_hybrid_int8(world):
+    """int8 corpus + exact hybrid: ranking matches the ground truth over the
+    DEQUANTIZED dense matrix + exact BM25 scores."""
+    w = world
+    eng = make_engine(w, quantize="int8")
+    queries = list(w["queries"].values())[:4]
+    results = eng.retrieve(queries, top_k=6, mode="exact")
+
+    deq = np.asarray(eng.docs_q, np.float32) * np.asarray(eng.doc_scales)[:, None]
+    deq = deq[: len(eng.doc_keys)].reshape(len(eng.doc_keys), 2, -1)
+    q = np.asarray(eng.encode_queries(queries), np.float32)
+    logits = q @ np.asarray(w["mixer"]["weight"])
+    weights = np.exp(logits - logits.max(-1, keepdims=True))
+    weights /= weights.sum(-1, keepdims=True)
+    from mfar_tpu.train.data_pipeline import clean_query
+
+    sparse = w["sparse_indices"]["title_sparse"].get_scores_batch(
+        [clean_query(t) for t in queries]
+    )
+    dense = np.einsum("be,nfe->bnf", q, deq)
+    full = np.einsum("bnf,bf->bn", dense, weights[:, :2]) + weights[:, 2:3] * sparse
+    for i, hits in enumerate(results):
+        want = set(np.argsort(-full[i])[:6])
+        got = {w["corpus"].key_to_id[k] for k, _ in hits}
+        # query-side quantization error can flip near-ties at the boundary
+        assert len(want & got) >= 5, (want, got)
+
+
 # ---------------------------------------------------------------------------
 # ops
 
