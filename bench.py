@@ -225,8 +225,16 @@ def index_build_docs_per_s(world) -> float:
 
 def main():
     extra = {}
+    start = time.perf_counter()
+    # Extras stop starting once the budget is spent (a cold compile cache or
+    # slow tunnel must not push the run past the driver's timeout -- the
+    # headline JSON line must always print).
+    budget = float(os.environ.get("MFAR_BENCH_BUDGET", "420"))
 
     def section(name, fn):
+        if time.perf_counter() - start > budget:
+            print(f"[bench] {name} SKIPPED (budget)", file=sys.stderr, flush=True)
+            return
         try:
             t0 = time.perf_counter()
             extra[name] = round(fn(), 2)

@@ -95,17 +95,6 @@ def main(argv=None) -> None:
 
     encoder = build_encoder(config)
 
-    from mfar_tpu.eval.index_build import make_encode_fn
-
-    encode = make_encode_fn(encoder, params)
-
-    dense_fields = {k: f for k, f in field_info.items() if f.is_dense}
-    if args.dense_index:
-        matrix, keys = load_dense_matrix(args.dense_index)
-        assert keys == list(corpus.keys()), "dense index keys do not match the corpus"
-    else:
-        matrix = build_dense_corpus_matrix(encode, tokenizer, corpus, dense_fields)
-
     mesh = None
     if args.mesh == "auto" and len(jax.devices()) > 1 and not args.quantize \
             and not args.use_pallas_gather:
@@ -113,6 +102,17 @@ def main(argv=None) -> None:
 
         mesh = make_mesh()
         print(f"[retrieve] mesh: {dict(mesh.shape)}")
+
+    from mfar_tpu.eval.index_build import make_encode_fn
+
+    encode = make_encode_fn(encoder, params, mesh=mesh)
+
+    dense_fields = {k: f for k, f in field_info.items() if f.is_dense}
+    if args.dense_index:
+        matrix, keys = load_dense_matrix(args.dense_index)
+        assert keys == list(corpus.keys()), "dense index keys do not match the corpus"
+    else:
+        matrix = build_dense_corpus_matrix(encode, tokenizer, corpus, dense_fields)
 
     sparse_indices = load_or_build_sparse_indices(corpus, field_info, args.lexical_index)
     engine = RetrievalEngine(

@@ -24,18 +24,38 @@ from mfar_tpu.data.schema import dense_keys, sparse_keys
 from mfar_tpu.sparse.bm25 import BM25Index
 
 
-def make_encode_fn(encoder, params) -> Callable:
+def make_encode_fn(encoder, params, mesh=None) -> Callable:
     """Jitted (input_ids, attention_mask) -> [n, E] with params bound as a
     jit ARGUMENT, never a closure constant: closure capture embeds the full
     weights in the compile payload (overflowing remote-compile transports at
-    full model scale) and recompiles whenever the closure is rebuilt."""
+    full model scale) and recompiles whenever the closure is rebuilt.
+
+    With a ``mesh``, encode batches shard over the batch axes so corpus
+    encoding uses every chip (rows that don't divide the shard count fall
+    back to replicated compute)."""
     jit_encode = jax.jit(lambda p, ids, mask: encoder.apply({"params": p}, ids, mask))
     jparams = jax.tree.map(jnp.asarray, params)
 
-    def encode(ids, mask):
+    if mesh is None:
+        def encode(ids, mask):
+            return jit_encode(jparams, ids, mask)
+
+        return encode
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mfar_tpu.parallel.mesh import batch_axes, n_batch_shards
+
+    sharding = NamedSharding(mesh, P(batch_axes(mesh)))
+    n_dp = n_batch_shards(mesh)
+
+    def encode_sharded(ids, mask):
+        if ids.shape[0] % n_dp == 0:
+            ids = jax.device_put(ids, sharding)
+            mask = jax.device_put(mask, sharding)
         return jit_encode(jparams, ids, mask)
 
-    return encode
+    return encode_sharded
 
 
 def encode_texts(
