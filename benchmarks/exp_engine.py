@@ -21,7 +21,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import ml_dtypes
+
 
     from mfar_tpu.data.schema import resolve_fields
     from mfar_tpu.eval.index_build import make_encode_fn

@@ -37,6 +37,8 @@ def main(argv=None) -> None:
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--prefix", action="store_true")
+    p.add_argument("--mesh", default="auto", choices=["auto", "off"],
+                   help="auto: shard encode batches over all visible chips")
     args = p.parse_args(argv)
     resolve_data_dirs(args)
 
@@ -70,9 +72,16 @@ def main(argv=None) -> None:
 
     encoder = build_encoder(config)
 
+    mesh = None
+    if args.mesh == "auto" and len(jax.devices()) > 1:
+        from mfar_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        print(f"[encode_corpus] mesh: {dict(mesh.shape)}")
+
     from mfar_tpu.eval.index_build import make_encode_fn
 
-    encode = make_encode_fn(encoder, params)
+    encode = make_encode_fn(encoder, params, mesh=mesh)
 
     matrix = build_dense_corpus_matrix(
         encode, tokenizer, corpus, dense_fields,

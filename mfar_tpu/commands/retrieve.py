@@ -60,6 +60,10 @@ def main(argv=None) -> None:
     p.add_argument("--mesh", default="auto", choices=["auto", "off"],
                    help="auto: shard the corpus over all visible chips and "
                         "serve with distributed top-k; off: single chip")
+    p.add_argument("--corpus-per-slice", action="store_true",
+                   help="replicate the corpus per slice (shard only within a "
+                        "slice over ICI); higher QPS when it fits one slice, "
+                        "vs the default cross-slice sharding for capacity")
     args = p.parse_args(argv)
     resolve_data_dirs(args)
 
@@ -127,6 +131,7 @@ def main(argv=None) -> None:
         use_pallas_gather=args.use_pallas_gather,
         quantize=args.quantize,
         mesh=mesh,
+        corpus_per_slice=args.corpus_per_slice,
         mode=args.mode,
         dense_dtype=jnp.bfloat16 if args.dense_dtype == "bf16" and not args.quantize else None,
     )

@@ -81,6 +81,9 @@ class RetrievalEngine:
         quantize: Optional[str] = None,  # "int8": half corpus HBM (2x docs/chip),
         #                                  ~0.5% score precision trade
         mesh=None,  # jax.sharding.Mesh: shard the corpus + distribute the scans
+        corpus_per_slice: bool = False,  # replicate the corpus per slice
+        #   (shard only within-slice over ICI): higher QPS per query batch
+        #   when the corpus fits one slice; default spans slices (capacity)
         mode: str = "auto",  # default retrieve() mode: auto|exact|rerank
         dense_dtype=None,  # device dtype for the corpus matrix (None keeps the
         #                    input dtype; bfloat16 halves HBM -- the right
@@ -103,6 +106,7 @@ class RetrievalEngine:
         assert mode in ("auto", "exact", "rerank"), mode
         self.mode = mode
         self._corpus_axes = None
+        self._query_axis = None
         if mesh is not None:
             assert quantize is None and not use_pallas_gather, (
                 "mesh serving composes with the full-precision XLA path only "
@@ -110,9 +114,17 @@ class RetrievalEngine:
             )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            from mfar_tpu.parallel.mesh import batch_axes
+            from mfar_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS, batch_axes
 
-            self._corpus_axes = batch_axes(mesh)
+            self._corpus_axes = DATA_AXIS if corpus_per_slice else batch_axes(mesh)
+            # With a per-slice corpus, slices serve DISJOINT slices of the
+            # query batch (throughput scales with slice count) instead of
+            # duplicating the scan.
+            self._query_axis = (
+                REPLICA_AXIS
+                if corpus_per_slice and mesh.shape.get(REPLICA_AXIS, 1) > 1
+                else None
+            )
             # Mixer params replicate onto the mesh once: they may arrive
             # committed elsewhere (host restore, or a trainer state placed on
             # a different device subset), and eager ops can't mix device sets.
@@ -151,9 +163,9 @@ class RetrievalEngine:
             if mesh is not None:
                 # every shard must hold the same row count; big corpora also
                 # pad so each shard chunks evenly
-                from mfar_tpu.parallel.mesh import n_batch_shards
-
-                n_shards = n_batch_shards(mesh)
+                axes = self._corpus_axes if isinstance(self._corpus_axes, tuple) \
+                    else (self._corpus_axes,)
+                n_shards = int(np.prod([mesh.shape[a] for a in axes]))
                 mult = n_shards * TOPK_CHUNK if n > n_shards * TOPK_CHUNK else n_shards
                 flat = np.pad(flat, ((0, _round_up(n, mult) - n), (0, 0)))
             elif n > TOPK_CHUNK and n % TOPK_CHUNK:  # pad for the chunked scans
@@ -189,6 +201,13 @@ class RetrievalEngine:
                     )
 
     # ------------------------------------------------------------------
+
+    def _qaxis(self, b: int) -> Optional[str]:
+        """Query-shard axis for a batch of b rows (None unless the batch
+        divides across the replica groups)."""
+        if self._query_axis is not None and b % self.mesh.shape[self._query_axis] == 0:
+            return self._query_axis
+        return None
 
     def set_mask(self, mask: Optional[np.ndarray]) -> None:
         """Field ablation mask over [dense..., sparse...] (schema order)."""
@@ -320,6 +339,7 @@ class RetrievalEngine:
                 top_s, top_i = distributed_dense_topk(
                     self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
                     self.n_docs, k=k, chunk_size=TOPK_CHUNK, axis=self._corpus_axes,
+                    query_axis=self._qaxis(qflat.shape[0]),
                 )
             else:
                 top_s, top_i = dense_topk_chunked(
@@ -340,13 +360,14 @@ class RetrievalEngine:
 
                 from mfar_tpu.parallel.topk import distributed_hybrid_topk
 
+                qa = self._qaxis(qflat.shape[0])
                 sparse_sharded = jax.device_put(
-                    sparse_comb, NamedSharding(self.mesh, P(None, self._corpus_axes))
+                    sparse_comb, NamedSharding(self.mesh, P(qa, self._corpus_axes))
                 )
                 top_s, top_i = distributed_hybrid_topk(
                     self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
                     sparse_sharded, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
-                    axis=self._corpus_axes,
+                    axis=self._corpus_axes, query_axis=qa,
                 )
             else:
                 top_s, top_i = hybrid_topk_chunked(
@@ -387,7 +408,7 @@ class RetrievalEngine:
                 s, idx = distributed_per_field_topk(
                     self.mesh, q.astype(self.docs_flat.dtype), self.docs_flat,
                     self.n_docs, fd, k=k, chunk_size=TOPK_CHUNK,
-                    axis=self._corpus_axes,
+                    axis=self._corpus_axes, query_axis=self._qaxis(q.shape[0]),
                 )
             else:
                 s, idx = per_field_topk_chunked_approx(
@@ -427,6 +448,7 @@ class RetrievalEngine:
                 dense_scores = distributed_candidate_scores(
                     self.mesh, q.astype(jnp.float32), self.docs_flat,
                     cand_j.astype(jnp.int32), axis=self._corpus_axes, num_fields=fd,
+                    query_axis=self._qaxis(q.shape[0]),
                 )
             elif self.docs_rows is not None:
                 from mfar_tpu.ops.pallas_kernels import gather_per_field_scores_pallas

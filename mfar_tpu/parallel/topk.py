@@ -60,6 +60,9 @@ def distributed_dense_topk(
     chunk_size: int = 131072,
     approx: bool = False,  # PartialReduce local top-k (recall stage)
     axis: AxisSpec = DATA_AXIS,  # e.g. ('replica', 'data') for multi-slice
+    query_axis: Optional[str] = None,  # shard the QUERY batch over this axis
+    #   (throughput scaling: with a per-slice corpus, each slice serves its
+    #   own slice of the batch instead of duplicating the scan)
 ) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
     n = docs_flat.shape[0]
     n_shards = _axis_size(mesh, axis)
@@ -74,8 +77,8 @@ def distributed_dense_topk(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
-        out_specs=(P(None, axis), P(None, axis)),
+        in_specs=(P(query_axis), P(axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
     )
     def _local_topk(q, docs):
         shard_id = jax.lax.axis_index(axis)
@@ -110,6 +113,9 @@ def distributed_hybrid_topk(
     k: int,
     chunk_size: int = 131072,
     axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,  # shard the query batch (see
+    #   distributed_dense_topk); sparse_comb must then be sharded
+    #   P(query_axis, axis)
 ) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
     """EXACT distributed hybrid top-k: each shard fuses its dense slice with
     its slice of the host-streamed sparse scores, keeps a local top-k, and
@@ -126,8 +132,8 @@ def distributed_hybrid_topk(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(None, axis)),
-        out_specs=(P(None, axis), P(None, axis)),
+        in_specs=(P(query_axis), P(axis), P(query_axis, axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
     )
     def _local_topk(q, docs, sparse):
         shard_id = jax.lax.axis_index(axis)
@@ -159,6 +165,8 @@ def distributed_per_field_topk(
     k: int,
     chunk_size: int = 131072,
     axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,  # shard the query batch (see
+    #   distributed_dense_topk)
 ) -> Tuple[jax.Array, jax.Array]:  # [B, F, k] scores, [B, F, k] global row ids
     """Distributed per-field recall: one corpus pass per shard produces all
     F per-field local top-ks (:func:`per_field_topk_chunked_approx`); the
@@ -174,8 +182,8 @@ def distributed_per_field_topk(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis)),
-        out_specs=(P(None, None, axis), P(None, None, axis)),
+        in_specs=(P(query_axis), P(axis)),
+        out_specs=(P(query_axis, None, axis), P(query_axis, None, axis)),
     )
     def _local_topk(q_, docs):
         shard_id = jax.lax.axis_index(axis)
@@ -210,6 +218,8 @@ def distributed_candidate_scores(
     cand_ids: jax.Array,  # [B, C] global row ids (replicated); -1 = padding
     axis: AxisSpec = DATA_AXIS,
     num_fields: Optional[int] = None,  # required when docs is flat [N, F*E]
+    query_axis: Optional[str] = None,  # shard the query batch (and its
+    #   candidate lists) over this axis
 ) -> jax.Array:  # [B, C, F] per-field dense scores
     """Each shard gathers only the candidates that live in its slice and
     contributes their scores; a psum over ICI yields the full tensor.
@@ -224,8 +234,8 @@ def distributed_candidate_scores(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P(axis), P()),
-        out_specs=P(),
+        in_specs=(P(query_axis), P(axis), P(query_axis)),
+        out_specs=P(query_axis),
     )
     def _run(q_, docs_, ids_):
         shard_id = jax.lax.axis_index(axis)

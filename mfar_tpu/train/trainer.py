@@ -36,7 +36,6 @@ from typing import Any, Dict, List, Mapping, Optional
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from mfar_tpu.data import trec
 from mfar_tpu.data.schema import sparse_keys
@@ -276,8 +275,11 @@ class Trainer:
         for batch in self.val_dataset.epoch_batches(
             self.cfg.train_batch_size, seed=0, drop_remainder=False
         ):
+            # _place_batch shards full batches over the mesh; ragged last
+            # batches fall through replicated (leaf-level divisibility guard)
+            batch = self._place_batch(strip_meta(batch))
             with self.timer.phase("val_step"):
-                losses.append(float(self.eval_step(state, strip_meta(batch))))
+                losses.append(float(self.eval_step(state, batch)))
             if self.cfg.run_one_iteration:
                 break
         return float(np.mean(losses)) if losses else float("inf")

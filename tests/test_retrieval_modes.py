@@ -319,6 +319,45 @@ def test_mesh_engine_matches_single_device(world, mode):
         )
 
 
+@pytest.mark.parametrize("per_slice", [False, True])
+def test_multi_slice_corpus_sharding(world, per_slice):
+    """On a replica x data mesh, the corpus can span slices (capacity) or
+    replicate per slice (QPS); both reproduce single-device results."""
+    w = world
+    mesh = make_mesh(n_data=4, n_replica=2)
+    single = make_engine(w, recall_k=20)
+    sharded = make_engine(w, recall_k=20, mesh=mesh, corpus_per_slice=per_slice)
+    assert sharded._corpus_axes == ("data" if per_slice else ("replica", "data"))
+    queries = list(w["queries"].values())[:5]
+    for mode in ("exact", "rerank"):
+        res_1 = single.retrieve(queries, top_k=6, mode=mode)
+        res_m = sharded.retrieve(queries, top_k=6, mode=mode)
+        for h1, hm in zip(res_1, res_m):
+            assert [k for k, _ in h1] == [k for k, _ in hm], (mode, per_slice)
+
+
+def test_multi_slice_query_sharding(world):
+    """Per-slice corpus + even query batch: the query batch shards over the
+    replica axis (each slice serves its own slice of the batch) and results
+    still match single-device, in order."""
+    w = world
+    mesh = make_mesh(n_data=4, n_replica=2)
+    single = make_engine(w, recall_k=20)
+    sharded = make_engine(w, recall_k=20, mesh=mesh, corpus_per_slice=True)
+    assert sharded._query_axis == "replica"
+    queries = list(w["queries"].values())[:6]  # 6 % 2 == 0 -> sharded
+    assert sharded._qaxis(len(queries)) == "replica"
+    assert sharded._qaxis(5) is None  # odd batches fall back to replicated
+    for mode in ("exact", "rerank"):
+        res_1 = single.retrieve(queries, top_k=6, mode=mode)
+        res_m = sharded.retrieve(queries, top_k=6, mode=mode)
+        for h1, hm in zip(res_1, res_m):
+            assert [k for k, _ in h1] == [k for k, _ in hm], mode
+            np.testing.assert_allclose(
+                [s for _, s in h1], [s for _, s in hm], rtol=1e-4, atol=1e-4
+            )
+
+
 def test_mesh_engine_dense_only(world):
     w = world
     dense_fields = {k: f for k, f in w["field_info"].items() if f.is_dense}
