@@ -113,6 +113,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel mesh axis size (shards encoder params)")
     p.add_argument("--n-replica", type=int, default=1,
                    help="cross-slice (DCN) data-parallel axis size")
+    p.add_argument("--prefetch-depth", type=int, default=2,
+                   help="train batches prepared ahead on the host thread "
+                        "(epoch RAM is O(depth); 0 would serialize host prep)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in --out (exact resume: "
                    "params + optimizer + batchnorm + rng)")
@@ -265,6 +268,7 @@ def main(argv=None) -> None:
         query_max_length=args.dev_max_length,
         prefix=args.prefix,
         retrieval_mode=args.retrieval_mode,
+        prefetch_depth=max(1, args.prefetch_depth),
     )
     logger = MetricsLogger(args.out, backend=args.logger, run_name=args.experiment_name)
     logger.log_hyperparams(vars(args))

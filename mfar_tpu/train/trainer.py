@@ -265,7 +265,10 @@ class Trainer:
             losses.append(metrics["loss"])  # device scalar; fetched at epoch end
             if (i + 1) % val_every == 0 and i + 1 < n:
                 val_losses.append(self.validate_proxy(state))
-        losses = [float(x) for x in losses]
+        # Steps dispatch asynchronously, so the per-step phase above times
+        # dispatch only; the device drains here (one blocking fetch).
+        with self.timer.phase("train_drain"):
+            losses = [float(x) for x in losses]
         return state, float(np.mean(losses)) if losses else 0.0, val_losses
 
     def validate_proxy(self, state: TrainState) -> float:
