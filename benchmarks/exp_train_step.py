@@ -4,10 +4,12 @@ Contriever-base encoder (12L/768), 5 dense fields at the mag token budgets
 (512/512/512/64/64) + 64-token query, B=24, one sparse field, remat on,
 rbg PRNG, attention dropout 0.  Usage:
 
-    python benchmarks/exp_train_step.py [donate] [steps]
+    python benchmarks/exp_train_step.py [full|dots|attn_out|bf16sm] [nodonate]
 
-Steps run back-to-back with device-resident losses; one scalar fetch ends
-the timed region (relay-safe single-fetch timing).
+arg 1 picks the remat policy (or bf16 softmax with full remat); `nodonate`
+disables state donation for an A/B. Steps run back-to-back with
+device-resident losses; one scalar fetch ends the timed region (relay-safe
+single-fetch timing).
 """
 
 import sys
@@ -17,7 +19,7 @@ import numpy as np
 
 
 def main():
-    donate = "donate" in sys.argv[1:] or True  # donation is the production path
+    donate = "nodonate" not in sys.argv[1:]
     steps = 6
 
     import jax
@@ -37,7 +39,9 @@ def main():
         vocab_size=30522, hidden_size=768, num_layers=12, num_heads=12,
         intermediate_size=3072, max_position_embeddings=512,
         hidden_dropout=0.1, attention_dropout=0.0, remat=True,
-        remat_policy=sys.argv[1] if len(sys.argv) > 1 and sys.argv[1] != "bf16sm" else "full",
+        remat_policy=sys.argv[1]
+        if len(sys.argv) > 1 and sys.argv[1] in ("dots", "attn_out")
+        else "full",
         softmax_dtype=jnp.bfloat16 if "bf16sm" in sys.argv[1:] else jnp.float32,
     )
     model = MFARModel(encoder_config=config, num_fields=len(budgets) + 1,

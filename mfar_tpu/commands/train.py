@@ -115,7 +115,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cross-slice (DCN) data-parallel axis size")
     p.add_argument("--prefetch-depth", type=int, default=2,
                    help="train batches prepared ahead on the host thread "
-                        "(epoch RAM is O(depth); 0 would serialize host prep)")
+                        "(epoch RAM is O(depth); values < 1 are clamped to 1)")
     p.add_argument("--resume", action="store_true",
                    help="continue from the latest checkpoint in --out (exact resume: "
                    "params + optimizer + batchnorm + rng)")
@@ -236,6 +236,11 @@ def main(argv=None) -> None:
         from mfar_tpu.parallel.mesh import make_mesh
 
         n_data = n_dev // (args.n_model * args.n_replica)
+        if n_data < 1:
+            raise SystemExit(
+                f"--n-model {args.n_model} x --n-replica {args.n_replica} "
+                f"needs at least that many devices (have {n_dev})"
+            )
         # The batch must divide over the data shards; shrink the data axis
         # (leaving spare chips idle) rather than die -- a batch of 4 simply
         # cannot data-parallel 8 ways.

@@ -24,6 +24,26 @@ from mfar_tpu.data.schema import dense_keys, sparse_keys
 from mfar_tpu.sparse.bm25 import BM25Index
 
 
+def make_batch_sharder(mesh) -> Callable:
+    """(ids, mask) -> mesh-batch-sharded copies when the row count divides
+    the shard count, else unchanged (replicated compute fallback).  The one
+    place the divisibility/sharding rule lives -- shared by
+    :func:`make_encode_fn` and the trainer's eval-time encoder."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mfar_tpu.parallel.mesh import batch_axes, n_batch_shards
+
+    sharding = NamedSharding(mesh, P(batch_axes(mesh)))
+    n_dp = n_batch_shards(mesh)
+
+    def shard(ids, mask):
+        if ids.shape[0] % n_dp == 0:
+            return jax.device_put(ids, sharding), jax.device_put(mask, sharding)
+        return ids, mask
+
+    return shard
+
+
 def make_encode_fn(encoder, params, mesh=None) -> Callable:
     """Jitted (input_ids, attention_mask) -> [n, E] with params bound as a
     jit ARGUMENT, never a closure constant: closure capture embeds the full
@@ -42,18 +62,10 @@ def make_encode_fn(encoder, params, mesh=None) -> Callable:
 
         return encode
 
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    from mfar_tpu.parallel.mesh import batch_axes, n_batch_shards
-
-    sharding = NamedSharding(mesh, P(batch_axes(mesh)))
-    n_dp = n_batch_shards(mesh)
+    shard = make_batch_sharder(mesh)
 
     def encode_sharded(ids, mask):
-        if ids.shape[0] % n_dp == 0:
-            ids = jax.device_put(ids, sharding)
-            mask = jax.device_put(mask, sharding)
-        return jit_encode(jparams, ids, mask)
+        return jit_encode(jparams, *shard(ids, mask))
 
     return encode_sharded
 

@@ -167,7 +167,9 @@ class RetrievalEngine:
                     else (self._corpus_axes,)
                 n_shards = int(np.prod([mesh.shape[a] for a in axes]))
                 mult = n_shards * TOPK_CHUNK if n > n_shards * TOPK_CHUNK else n_shards
-                flat = np.pad(flat, ((0, _round_up(n, mult) - n), (0, 0)))
+                if _round_up(n, mult) != n:  # np.pad would D2H-copy a
+                    #                          device-resident aligned corpus
+                    flat = np.pad(flat, ((0, _round_up(n, mult) - n), (0, 0)))
             elif n > TOPK_CHUNK and n % TOPK_CHUNK:  # pad for the chunked scans
                 flat = np.pad(flat, ((0, _round_up(n, TOPK_CHUNK) - n), (0, 0)))
             self.n_pad = flat.shape[0]
@@ -190,6 +192,11 @@ class RetrievalEngine:
             else:
                 self.docs_flat = jnp.asarray(flat, dtype=dense_dtype)
             if use_pallas_gather:
+                assert self.docs_flat is None or self.docs_flat.dtype == jnp.float32, (
+                    "pallas gather is full-precision only: a bf16 corpus would "
+                    "be upcast to a second full f32 copy on every rerank batch "
+                    "(pass dense_dtype=None / --dense-dtype f32)"
+                )
                 if e % 128 == 0:  # kernel needs lane-aligned field segments
                     from mfar_tpu.ops.pallas_kernels import make_row_dma_view
 
@@ -509,9 +516,7 @@ class RetrievalEngine:
         so the per-batch fetch round-trip and the next batch's host prep
         hide under device compute.  Results match per-batch
         :meth:`retrieve` exactly (same programs, same order)."""
-        mode = mode or self.mode
-        if mode == "auto":
-            mode = "exact" if (not self.sparse_keys and self.has_dense) else "rerank"
+        mode = self._resolve_mode(mode)
         chunks = [
             list(queries[s : s + batch_size]) for s in range(0, len(queries), batch_size)
         ]
@@ -523,7 +528,7 @@ class RetrievalEngine:
         pending: List[Any] = []
         for chunk in chunks:
             pending.append(self._dispatch_exact(chunk, top_k))
-            if len(pending) > window:
+            if len(pending) >= window:
                 out.extend(self._finish_exact(pending.pop(0)))
         for d in pending:
             out.extend(self._finish_exact(d))
@@ -535,12 +540,18 @@ class RetrievalEngine:
         """``mode``: 'exact' (fused full-corpus scoring, hybrid-capable),
         'rerank' (reference-compat recall+rerank), or 'auto' (exact for
         all-dense, rerank for hybrid -- the reference's own asymmetry)."""
-        mode = mode or self.mode
-        if mode == "auto":
-            mode = "exact" if (not self.sparse_keys and self.has_dense) else "rerank"
+        mode = self._resolve_mode(mode)
         if mode == "exact":
             return self.retrieve_exact(queries, top_k)
         return self.retrieve_rerank(queries, top_k)
+
+    def _resolve_mode(self, mode: Optional[str]) -> str:
+        mode = mode or self.mode
+        if mode == "auto":
+            # exact for all-dense, rerank for hybrid -- the reference's own
+            # train/eval asymmetry stays the compat default
+            mode = "exact" if (not self.sparse_keys and self.has_dense) else "rerank"
+        return mode
 
     # ------------------------------------------------------------------
 

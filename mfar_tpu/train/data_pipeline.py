@@ -207,6 +207,7 @@ def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     import queue
     import threading
 
+    depth = max(1, depth)  # 0 would mean UNBOUNDED in queue.Queue
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
     stop = threading.Event()

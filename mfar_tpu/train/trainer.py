@@ -193,19 +193,17 @@ class Trainer:
         # Eval entry points (mask_fields, retrieve-from-checkpoint) restore
         # state on the default device; place it on the mesh before mixing
         # with mesh-sharded batches.
+        from mfar_tpu.eval.index_build import make_batch_sharder
         from mfar_tpu.parallel.sharding import shard_params
 
         params = shard_params(self.mesh, params)
+        shard = make_batch_sharder(self.mesh)
 
         # Mesh: shard encode batches over the batch axes so corpus
         # (re)indexing uses every chip (the reference shards this by rank,
-        # mfar/modeling/contrastive.py:465-496); fall back to replicated
-        # compute for row counts that don't divide the shards.
+        # mfar/modeling/contrastive.py:465-496).
         def encode(ids, mask):
-            if ids.shape[0] % self._n_dp == 0:
-                ids = jax.device_put(ids, self._batch_sharding)
-                mask = jax.device_put(mask, self._batch_sharding)
-            return self._jit_encode(params, ids, mask)
+            return self._jit_encode(params, *shard(ids, mask))
 
         return encode
 
