@@ -96,8 +96,9 @@ def baseline_qps() -> float:
     return B / (dt * (N / N_BASE))
 
 
-def engine_world(docs):
-    """Shared serving world: tokenizer + contriever-shape encoder + queries."""
+def engine_world(docs, num_layers: int = 12, hidden: int = 768):
+    """Shared serving world: tokenizer + contriever-shape encoder + queries
+    (tests shrink the encoder via the size args)."""
     import numpy as np
 
     from mfar_tpu.eval.index_build import make_encode_fn
@@ -108,12 +109,16 @@ def engine_world(docs):
     words = [f"w{i}" for i in range(5000)]
     warr = np.array(words)
     tok = SimpleVocabTokenizer.build([" ".join(words)], max_length=64)
-    config = EncoderConfig(vocab_size=tok.vocab_size, remat=False)
+    config = EncoderConfig(
+        vocab_size=tok.vocab_size, remat=False, num_layers=num_layers,
+        hidden_size=hidden, intermediate_size=4 * hidden,
+        num_heads=max(4, hidden // 64),
+    )
     encode = make_encode_fn(Encoder(config), init_params(config, seed=0))
-    return dict(rng=rng, warr=warr, tok=tok, encode=encode)
+    return dict(rng=rng, warr=warr, tok=tok, encode=encode, emb=hidden)
 
 
-def engine_qps(docs, world, hybrid: bool, b: int) -> float:
+def make_engine(docs, world, hybrid: bool):
     import numpy as np
 
     import jax.numpy as jnp
@@ -122,10 +127,6 @@ def engine_qps(docs, world, hybrid: bool, b: int) -> float:
     from mfar_tpu.eval.retrieval import RetrievalEngine
 
     rng, warr = world["rng"], world["warr"]
-    n_batches = 4
-    queries = [
-        " ".join(warr[rng.integers(0, 5000, size=8)]) for _ in range(b * n_batches)
-    ]
     field_info = resolve_fields("all_dense" + (",title_sparse" if hybrid else ""), "mag")
     sparse_indices = {}
     if hybrid:
@@ -135,23 +136,30 @@ def engine_qps(docs, world, hybrid: bool, b: int) -> float:
         sparse_indices["title_sparse"] = BM25Index.create(
             [(str(i), t) for i, t in enumerate(texts)]
         )
-    engine = RetrievalEngine(
+    return RetrievalEngine(
         field_info=field_info,
         doc_keys=[str(i) for i in range(N)],
         encode_fn=world["encode"],
         tokenizer=world["tok"],
         mixer_params={"weight": jnp.asarray(
-            rng.normal(size=(E, F + (1 if hybrid else 0))).astype(np.float32))},
+            rng.normal(size=(world.get("emb", E), F + (1 if hybrid else 0))).astype(np.float32))},
         dense_matrix=docs,  # pre-flattened [N, F*E], already on device
         sparse_indices=sparse_indices,
         query_max_length=64,
-        mode="exact",
+        recall_k=K,
     )
-    engine.retrieve(queries[:b], top_k=K)  # compile + warm
+
+
+def engine_qps(engine, world, b: int, mode: str) -> float:
+    rng, warr = world["rng"], world["warr"]
+    queries = [
+        " ".join(warr[rng.integers(0, 5000, size=8)]) for _ in range(b * 4)
+    ]
+    engine.retrieve(queries[:b], top_k=K, mode=mode)  # compile + warm
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        engine.retrieve_many(queries, top_k=K, batch_size=b)  # pipelined serving
+        engine.retrieve_many(queries, top_k=K, batch_size=b, mode=mode)
         times.append(time.perf_counter() - t0)
     return len(queries) / min(times)
 
@@ -208,7 +216,7 @@ def train_step_ms() -> float:
     return (time.perf_counter() - t0) / steps * 1000
 
 
-def index_build_docs_per_s(world) -> float:
+def index_build_docs_per_s(world, n_docs: int = 2048, enc_batch: int = 256) -> float:
     """Corpus encoding at the full 512-token field budget (the serving
     world's tokenizer caps at 64 for queries, so build a 512 one here)."""
     from mfar_tpu.eval.index_build import encode_texts
@@ -216,10 +224,11 @@ def index_build_docs_per_s(world) -> float:
 
     rng, warr = world["rng"], world["warr"]
     tok512 = SimpleVocabTokenizer.build([" ".join(warr)], max_length=512)
-    texts = [" ".join(warr[rng.integers(0, 5000, size=500)]) for _ in range(2048)]
-    encode_texts(world["encode"], tok512, texts[:512], 512, 256)  # warm
+    texts = [" ".join(warr[rng.integers(0, 5000, size=500)]) for _ in range(n_docs)]
+    encode_texts(world["encode"], tok512, texts[: max(enc_batch, n_docs // 4)],
+                 512, enc_batch)  # warm
     t0 = time.perf_counter()
-    encode_texts(world["encode"], tok512, texts, 512, 256)
+    encode_texts(world["encode"], tok512, texts, 512, enc_batch)
     return len(texts) / (time.perf_counter() - t0)
 
 
@@ -251,9 +260,19 @@ def main():
     if not os.environ.get("MFAR_BENCH_FAST"):
         world = engine_world(docs)
         section("topk_b512_qps", lambda: op_qps(docs, 512, 16))
-        section("engine_dense_exact_qps", lambda: engine_qps(docs, world, False, 256))
-        section("engine_hybrid_exact_qps", lambda: engine_qps(docs, world, True, 64))
+        section("engine_dense_exact_qps",
+                lambda: engine_qps(make_engine(docs, world, False), world, 256, "exact"))
+        hybrid_engine = []  # built once, measured in both serving modes
+        def get_hybrid():
+            if not hybrid_engine:
+                hybrid_engine.append(make_engine(docs, world, True))
+            return hybrid_engine[0]
+        section("engine_hybrid_exact_qps",
+                lambda: engine_qps(get_hybrid(), world, 64, "exact"))
+        section("engine_hybrid_rerank_qps",
+                lambda: engine_qps(get_hybrid(), world, 64, "rerank"))
         section("index_build_docs_per_s", lambda: index_build_docs_per_s(world))
+        hybrid_engine.clear()
         del docs
         section("train_step_ms", train_step_ms)
 
