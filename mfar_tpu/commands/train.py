@@ -71,7 +71,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-epochs", type=int, default=50)
     p.add_argument("--patience", type=int, default=10)
     p.add_argument("--seed", type=int, default=0xDEADBEEF)
+    p.add_argument("--precision", default="16-mixed",
+                   choices=["16-mixed", "bf16", "32", "f32"],
+                   help="compute precision (reference default 16-mixed = bf16 "
+                        "activations here; 32/f32 forces full-precision "
+                        "encoder compute)")
+    p.add_argument("--num-gpus", type=int, default=None,
+                   help="accepted for reference CLI parity; device use is "
+                        "mesh-driven (--mesh / --n-model / --n-replica)")
+    p.add_argument("--dev-by-iter", dest="dev_by_iter", action="store_true",
+                   default=None,
+                   help="validate 5x per epoch (forced on for amazon, like "
+                        "the reference)")
     p.add_argument("--logger", default=None, choices=[None, "wandb", "mlflow", "mlflow_local"])
+    p.add_argument("--wandb-name", default=None, help="wandb run display name")
+    p.add_argument("--wandb-dir", default=None, help="wandb local artifact dir")
     p.add_argument("--freeze-encoder", action="store_true")
     p.add_argument("--experiment-name", default=None)
     p.add_argument("--trec-val-freq", type=int, default=0)
@@ -137,8 +151,12 @@ def main(argv=None) -> None:
     model_name = args.model_path or args.model_name
     neg_params = tuple(int(x) for x in args.negative_sampling_params.split(","))
     # amazon validates several times per epoch (reference:
-    # mfar/commands/train.py:88,251)
-    dev_by_iter = args.dataset_name == "amazon"
+    # mfar/commands/train.py:88,251); explicit --dev-by-iter overrides
+    dev_by_iter = args.dev_by_iter if args.dev_by_iter is not None \
+        else args.dataset_name == "amazon"
+    if args.num_gpus is not None:
+        print("[train] --num-gpus accepted for CLI parity; device use is "
+              "mesh-driven (--mesh / --n-model / --n-replica)")
 
     print(
         json.dumps(
@@ -173,6 +191,8 @@ def main(argv=None) -> None:
     # (gradient checkpointing explicitly unsupported, README.md:151).
     remat = {"auto": config.num_layers >= 8, "on": True, "off": False}[args.remat]
     overrides = {} if remat == config.remat else {"remat": remat}
+    if args.precision in ("32", "f32") and hasattr(config, "dtype"):
+        overrides["dtype"] = jnp.float32  # bf16 ("16-mixed") is the default
     if args.hidden_dropout is not None:
         overrides["hidden_dropout" if hasattr(config, "hidden_dropout") else "dropout"] = args.hidden_dropout
     if args.attention_dropout is not None and hasattr(config, "attention_dropout"):
@@ -275,7 +295,8 @@ def main(argv=None) -> None:
         retrieval_mode=args.retrieval_mode,
         prefetch_depth=max(1, args.prefetch_depth),
     )
-    logger = MetricsLogger(args.out, backend=args.logger, run_name=args.experiment_name)
+    logger = MetricsLogger(args.out, backend=args.logger, run_name=args.experiment_name,
+                           wandb_name=args.wandb_name, wandb_dir=args.wandb_dir)
     logger.log_hyperparams(vars(args))
 
     additional_queries = None

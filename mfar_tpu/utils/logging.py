@@ -16,7 +16,15 @@ from typing import Any, Dict, Optional
 
 
 class MetricsLogger:
-    def __init__(self, out_dir: str, backend: Optional[str] = None, run_name: Optional[str] = None):
+    def __init__(
+        self,
+        out_dir: str,
+        backend: Optional[str] = None,
+        run_name: Optional[str] = None,
+        wandb_name: Optional[str] = None,  # run display name (reference:
+        #                                    mfar/commands/train.py:74-80)
+        wandb_dir: Optional[str] = None,  # wandb local artifact dir
+    ):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
@@ -25,7 +33,8 @@ class MetricsLogger:
             try:
                 import wandb
 
-                wandb.init(project=run_name or "mfar_tpu")
+                wandb.init(project=run_name or "mfar_tpu", name=wandb_name,
+                           dir=wandb_dir)
                 self.backend = ("wandb", wandb)
             except ImportError:
                 print("[logging] wandb not installed; using JSONL only")
