@@ -52,6 +52,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model-name", default="facebook/contriever-msmarco")
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--dev-batch-size", type=int, default=64)
+    p.add_argument("--dev-max-length", type=int, default=512)
+    p.add_argument("--temp-dir", default=None,
+                   help="accepted for reference CLI parity; unused")
+    p.add_argument("--precision", default="16-mixed",
+                   choices=["16-mixed", "bf16", "32", "f32"],
+                   help="accepted for reference CLI parity (bf16 default)")
+    p.add_argument("--num-gpus", type=int, default=None,
+                   help="accepted for reference CLI parity; mesh-driven")
+    p.add_argument("--seed", type=int, default=0xDEADBEEF)
     p.add_argument("--recall-k", type=int, default=100)
     p.add_argument("--use-batchnorm", action="store_true")
     p.add_argument("--query-cond", dest="query_cond", action="store_true", default=True)
@@ -111,6 +120,8 @@ def main(argv=None) -> None:
         out_dir=args.out, dev_batch_size=args.dev_batch_size,
         recall_k=args.recall_k, prefix=args.prefix,
         retrieval_mode=args.retrieval_mode,
+        query_max_length=args.dev_max_length,
+        seed=args.seed % (2**31),
     )
     mesh = None
     if args.mesh == "auto" and len(jax.devices()) > 1:
