@@ -282,6 +282,32 @@ class RetrievalEngine:
             )
         return comb
 
+    def _sparse_postings_combined(
+        self, cleaned: List[str], weights: np.ndarray
+    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """All sparse fields' query-term postings concatenated per query,
+        impacts pre-multiplied by each field's mixer weight: (ids [B, M],
+        vals [B, M]), zero-padded; duplicates scatter-ADD.  Returns None when
+        the combined postings are denser than half the corpus (the dense
+        [B, N] path is then the cheaper transfer)."""
+        b = len(cleaned)
+        fd = len(self.dense_keys)
+        per_field = []
+        for s_i, fk in enumerate(self.sparse_keys):
+            w = weights[:, fd + s_i]
+            if not np.any(w):
+                continue  # masked out
+            ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
+            per_field.append((ids, vals * w[:, None].astype(np.float32)))
+        if not per_field:
+            return np.zeros((b, 128), np.int32), np.zeros((b, 128), np.float32)
+        m_total = sum(ids.shape[1] for ids, _ in per_field)
+        if m_total * 2 > self.n_docs:
+            return None
+        ids = np.concatenate([i for i, _ in per_field], axis=1)
+        vals = np.concatenate([v for _, v in per_field], axis=1)
+        return ids, vals
+
     def retrieve_exact(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
         """Fused exact full-corpus retrieval.
 
@@ -311,13 +337,23 @@ class RetrievalEngine:
         fd = len(self.dense_keys)
 
         sparse_comb = None
+        mesh_postings = None
         if self.sparse_keys:
             cleaned = [clean_query(t) for t in queries]
             if self.mesh is None and self.has_dense:
                 sparse_comb = self._sparse_comb_device(cleaned, np.asarray(weights))
+            elif self.mesh is not None and self.has_dense:
+                # mesh: ship postings, densify per shard (falls back to a
+                # host-built [B, N] when postings are denser than the corpus)
+                mesh_postings = self._sparse_postings_combined(
+                    cleaned, np.asarray(weights)
+                )
+                if mesh_postings is None:
+                    sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
+                else:
+                    sparse_comb = True  # sentinel: hybrid path, data in postings
             else:
-                # mesh path shards a host-built [B, N]; sparse-only corpora
-                # score fully on host
+                # sparse-only corpora score fully on host
                 sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
 
         if not self.has_dense:
@@ -363,19 +399,30 @@ class RetrievalEngine:
                     k=k, chunk_size=TOPK_CHUNK,
                 )
             elif self.mesh is not None:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from mfar_tpu.parallel.topk import distributed_hybrid_topk
-
                 qa = self._qaxis(qflat.shape[0])
-                sparse_sharded = jax.device_put(
-                    sparse_comb, NamedSharding(self.mesh, P(qa, self._corpus_axes))
-                )
-                top_s, top_i = distributed_hybrid_topk(
-                    self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
-                    sparse_sharded, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
-                    axis=self._corpus_axes, query_axis=qa,
-                )
+                if mesh_postings is not None:
+                    from mfar_tpu.parallel.topk import distributed_hybrid_topk_postings
+
+                    ids, vals = mesh_postings
+                    top_s, top_i = distributed_hybrid_topk_postings(
+                        self.mesh, qflat.astype(self.docs_flat.dtype),
+                        self.docs_flat, jnp.asarray(ids), jnp.asarray(vals),
+                        self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                        axis=self._corpus_axes, query_axis=qa,
+                    )
+                else:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    from mfar_tpu.parallel.topk import distributed_hybrid_topk
+
+                    sparse_sharded = jax.device_put(
+                        sparse_comb, NamedSharding(self.mesh, P(qa, self._corpus_axes))
+                    )
+                    top_s, top_i = distributed_hybrid_topk(
+                        self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
+                        sparse_sharded, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                        axis=self._corpus_axes, query_axis=qa,
+                    )
             else:
                 top_s, top_i = hybrid_topk_chunked(
                     qflat.astype(self.docs_flat.dtype), self.docs_flat,

@@ -156,6 +156,67 @@ def distributed_hybrid_topk(
     return _merge(cand_s, cand_i)
 
 
+def distributed_hybrid_topk_postings(
+    mesh,
+    qflat: jax.Array,  # [B, F*E] folded queries
+    docs_flat: jax.Array,  # [N, F*E] sharded P(axis) on rows
+    post_ids: jax.Array,  # [B, M] i32 global doc ids (weight-premultiplied
+    post_vals: jax.Array,  # [B, M] f32 impacts; zero-padded; duplicates sum)
+    valid_n: int,
+    k: int,
+    chunk_size: int = 131072,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
+    """EXACT distributed hybrid top-k fed by POSTINGS: each shard scatter-
+    adds the postings that land in its row range into a local [B, shard_n]
+    sparse-score slice, then fuses it with its dense scan.  Only O(B * nnz)
+    ids+impacts cross the host->device link and the interconnect -- the
+    dense-combine variant ships a full [B, N] tensor (host-combined, 1-vCPU
+    bound; measured 3.6 s vs ~0.1 s per 64-query batch at N=1M)."""
+    n = docs_flat.shape[0]
+    n_shards = _axis_size(mesh, axis)
+    shard_n = n // n_shards
+    local_k = min(k, shard_n)
+    chunk_size = min(chunk_size, shard_n)
+    if chunk_size < local_k or shard_n % chunk_size != 0:
+        chunk_size = shard_n
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(axis), P(query_axis), P(query_axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q, docs, ids, vals):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        local = ids - offset
+        mine = (local >= 0) & (local < shard_n)
+        safe = jnp.where(mine, local, 0)
+        b = q.shape[0]
+        sparse = jnp.zeros((b, shard_n), jnp.float32)
+        sparse = sparse.at[jnp.arange(b)[:, None], safe].add(
+            jnp.where(mine, vals, 0.0)
+        )
+        loc_s, loc_i = hybrid_topk_chunked(
+            q, docs, sparse, local_valid, k=local_k, chunk_size=chunk_size
+        )
+        return loc_s, loc_i + offset
+
+    qflat, post_ids, post_vals = _replicate(mesh, qflat, post_ids, post_vals)
+    cand_s, cand_i = _local_topk(qflat, docs_flat, post_ids, post_vals)
+    kk = min(k, cand_s.shape[1])
+
+    @jax.jit
+    def _merge(cs, ci):
+        top_s, sel = jax.lax.top_k(cs, kk)
+        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+
+    return _merge(cand_s, cand_i)
+
+
 def distributed_per_field_topk(
     mesh,
     q: jax.Array,  # [B, E] query embeddings (replicated, NOT folded)

@@ -144,3 +144,93 @@ def test_multislice_mesh_topk():
     )
     want = np.einsum("be,bcfe->bcf", q, docs[want_i])
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5, atol=1e-5)
+
+
+def test_distributed_hybrid_postings_matches_dense_comb(rng):
+    """Postings-fed distributed hybrid == the dense-combine variant ==
+    local ground truth (duplicates sum; out-of-shard ids masked)."""
+    from jax.sharding import NamedSharding
+
+    from mfar_tpu.parallel.topk import (
+        distributed_hybrid_topk,
+        distributed_hybrid_topk_postings,
+    )
+
+    b, n, fe, m, k = 4, 64, 16, 24, 6
+    mesh = make_mesh(n_data=8)
+    qflat = jnp.asarray(rng.normal(size=(b, fe)), jnp.float32)
+    docs = rng.normal(size=(n, fe)).astype(np.float32)
+    docs_sh = shard_array(mesh, docs, P(DATA_AXIS))
+    # postings with duplicate doc ids (they must sum)
+    ids = rng.integers(0, n, size=(b, m)).astype(np.int32)
+    vals = rng.random(size=(b, m)).astype(np.float32)
+    vals[:, -4:] = 0.0  # zero padding tail (id 0, val 0)
+    ids[:, -4:] = 0
+
+    dense_comb = np.zeros((b, n), np.float32)
+    for qi in range(b):
+        np.add.at(dense_comb[qi], ids[qi], vals[qi])
+
+    sp_sh = jax.device_put(dense_comb, NamedSharding(mesh, P(None, DATA_AXIS)))
+    s_dense, i_dense = distributed_hybrid_topk(
+        mesh, qflat, docs_sh, sp_sh, n, k=k, chunk_size=8
+    )
+    s_post, i_post = distributed_hybrid_topk_postings(
+        mesh, qflat, docs_sh, jnp.asarray(ids), jnp.asarray(vals), n, k=k, chunk_size=8
+    )
+    np.testing.assert_allclose(np.asarray(s_post), np.asarray(s_dense), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_post), np.asarray(i_dense))
+
+    truth = np.asarray(qflat) @ docs.T + dense_comb
+    want_i = np.argsort(-truth, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(i_post), want_i)
+
+
+def test_engine_mesh_hybrid_uses_postings_path(monkeypatch, rng):
+    """With sparse postings below the density threshold, the mesh engine
+    routes through distributed_hybrid_topk_postings (not the host-dense
+    combine) and still matches the single-device engine."""
+    import mfar_tpu.eval.retrieval as R
+    from mfar_tpu.data.schema import resolve_fields
+    from mfar_tpu.sparse.bm25 import BM25Index
+
+    n, e = 640, 8
+    # sparse docs: each distinctive token hits ~8 docs -> low density
+    texts = [(str(i), f"tok{i % 80} filler{i % 7}") for i in range(n)]
+    bm25 = BM25Index.create(texts, backend="scipy")
+    field_info = resolve_fields("title_dense,title_sparse", "amazon")
+    matrix = rng.normal(size=(n, 1, e)).astype(np.float32)
+    q_emb = jnp.asarray(rng.normal(size=(4, e)), jnp.float32)
+    mixer_w = jnp.asarray(rng.normal(size=(e, 2)), jnp.float32)
+
+    calls = []
+    import mfar_tpu.parallel.topk as T
+
+    orig = T.distributed_hybrid_topk_postings
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(T, "distributed_hybrid_topk_postings", spy)
+
+    def mk(mesh):
+        eng = R.RetrievalEngine(
+            field_info=field_info,
+            doc_keys=[t[0] for t in texts],
+            encode_fn=lambda ids, mask: q_emb,
+            tokenizer=None,
+            mixer_params={"weight": mixer_w},
+            dense_matrix=matrix,
+            sparse_indices={"title_sparse": bm25},
+            mesh=mesh,
+        )
+        eng.encode_queries = lambda queries: q_emb
+        return eng
+
+    queries = [f"tok{i} filler{i}" for i in range(4)]
+    single = mk(None).retrieve(queries, top_k=5, mode="exact")
+    sharded = mk(make_mesh(n_data=8)).retrieve(queries, top_k=5, mode="exact")
+    assert calls, "postings path was not taken"
+    for h1, hm in zip(single, sharded):
+        assert [k for k, _ in h1] == [k for k, _ in hm]
