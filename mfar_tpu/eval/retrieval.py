@@ -255,57 +255,73 @@ class RetrievalEngine:
             comb[:, : self.n_docs] += w[:, None] * scores
         return comb
 
-    def _sparse_comb_device(self, cleaned: List[str], weights: np.ndarray) -> jax.Array:
+    def _masked_out(self, field_idx: int) -> bool:
+        """Host-known ablation-mask skip (the mixer weights also zero masked
+        fields on device, so skipping is an optimization, not correctness)."""
+        return self.mask is not None and float(self.mask[field_idx]) == 0.0
+
+    def _sparse_comb_device(self, cleaned: List[str], weights: jax.Array) -> jax.Array:
         """Device-densified combined sparse scores [B, n_pad]: the host ships
         only the query terms' POSTINGS (O(nnz) ids+impacts) and a scatter-add
         builds the dense score tensor on device -- the dense host path moves
         [B, N] floats and is host/PCIe-bound (measured 3.6 s vs ~0.1 s per
-        64-query batch at N=1M on a 1-vCPU host)."""
+        64-query batch at N=1M on a 1-vCPU host).  ``weights`` stays a
+        DEVICE array: fetching it would put a blocking host sync in the
+        dispatch path and stall retrieve_many's pipeline."""
         b = len(cleaned)
         fd = len(self.dense_keys)
         comb = jnp.zeros((b, self.n_pad), jnp.float32)
         rows = jnp.arange(b)[:, None]
         for s_i, fk in enumerate(self.sparse_keys):
-            w = weights[:, fd + s_i]
-            if not np.any(w):
-                continue  # field masked out: skip entirely
+            if self._masked_out(fd + s_i):
+                continue  # field masked out: skip the host scan entirely
+            w = weights[:, fd + s_i].astype(jnp.float32)
             ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
             if ids.shape[1] * 2 > self.n_docs:  # postings denser than the corpus
                 dense = self.sparse_indices[fk].get_scores_batch(cleaned)
                 pad = np.zeros((b, self.n_pad - self.n_docs), np.float32)
-                comb = comb + jnp.asarray(
-                    np.concatenate([w[:, None] * dense, pad], axis=1)
+                comb = comb + w[:, None] * jnp.asarray(
+                    np.concatenate([dense, pad], axis=1)
                 )
                 continue
             comb = comb.at[rows, jnp.asarray(ids)].add(
-                jnp.asarray(vals) * jnp.asarray(w, jnp.float32)[:, None]
+                jnp.asarray(vals) * w[:, None]
             )
         return comb
 
     def _sparse_postings_combined(
-        self, cleaned: List[str], weights: np.ndarray
-    ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        self, cleaned: List[str], weights: jax.Array
+    ) -> Optional[Tuple[np.ndarray, jax.Array]]:
         """All sparse fields' query-term postings concatenated per query,
-        impacts pre-multiplied by each field's mixer weight: (ids [B, M],
-        vals [B, M]), zero-padded; duplicates scatter-ADD.  Returns None when
-        the combined postings are denser than half the corpus (the dense
-        [B, N] path is then the cheaper transfer)."""
+        impacts multiplied ON DEVICE by each field's mixer weight:
+        (ids [B, M] host, vals [B, M] device), zero-padded; duplicates
+        scatter-ADD.  Returns None when the combined postings are denser
+        than half the corpus (the dense [B, N] path is then the cheaper
+        transfer)."""
         b = len(cleaned)
         fd = len(self.dense_keys)
         per_field = []
         for s_i, fk in enumerate(self.sparse_keys):
-            w = weights[:, fd + s_i]
-            if not np.any(w):
-                continue  # masked out
+            if self._masked_out(fd + s_i):
+                continue
             ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
-            per_field.append((ids, vals * w[:, None].astype(np.float32)))
+            per_field.append((ids, vals, s_i))
         if not per_field:
-            return np.zeros((b, 128), np.int32), np.zeros((b, 128), np.float32)
-        m_total = sum(ids.shape[1] for ids, _ in per_field)
+            return (
+                np.zeros((b, 128), np.int32),
+                jnp.zeros((b, 128), jnp.float32),
+            )
+        m_total = sum(ids.shape[1] for ids, _, _ in per_field)
         if m_total * 2 > self.n_docs:
             return None
-        ids = np.concatenate([i for i, _ in per_field], axis=1)
-        vals = np.concatenate([v for _, v in per_field], axis=1)
+        ids = np.concatenate([i for i, _, _ in per_field], axis=1)
+        vals = jnp.concatenate(
+            [
+                jnp.asarray(v) * weights[:, fd + s_i, None].astype(jnp.float32)
+                for _, v, s_i in per_field
+            ],
+            axis=1,
+        )
         return ids, vals
 
     def retrieve_exact(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
@@ -341,13 +357,11 @@ class RetrievalEngine:
         if self.sparse_keys:
             cleaned = [clean_query(t) for t in queries]
             if self.mesh is None and self.has_dense:
-                sparse_comb = self._sparse_comb_device(cleaned, np.asarray(weights))
+                sparse_comb = self._sparse_comb_device(cleaned, weights)
             elif self.mesh is not None and self.has_dense:
                 # mesh: ship postings, densify per shard (falls back to a
                 # host-built [B, N] when postings are denser than the corpus)
-                mesh_postings = self._sparse_postings_combined(
-                    cleaned, np.asarray(weights)
-                )
+                mesh_postings = self._sparse_postings_combined(cleaned, weights)
                 if mesh_postings is None:
                     sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
                 else:
