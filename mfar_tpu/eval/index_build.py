@@ -62,6 +62,13 @@ def make_encode_fn(encoder, params, mesh=None) -> Callable:
 
         return encode
 
+    # Params replicate onto the mesh: checkpoint-restored (or jit-created)
+    # params arrive committed to one device, and mixing them with
+    # mesh-sharded batches is a device-set mismatch.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    jparams = jax.tree.map(lambda x: jax.device_put(x, rep), jparams)
     shard = make_batch_sharder(mesh)
 
     def encode_sharded(ids, mask):

@@ -93,6 +93,13 @@ def test_retrieve_cli(dirs, tmp_path):
     # candidate overlap >= 80% (near-ties may cross the k boundary)
     assert len(ids & ids8) >= int(0.8 * len(ids))
 
+    # checkpoint-restored params (committed to one device) must serve over
+    # the auto mesh too (regression: device-set mismatch in make_encode_fn)
+    out_ckpt = str(tmp_path / "ckpt.qres")
+    retrieve_cmd.main(base + ["--out", out_ckpt, "--checkpoint-dir", dirs["run"],
+                              "--mode", "exact"])
+    assert list(trec.QRes.from_file(out_ckpt))
+
 
 def test_checkpoint_reload_across_prng_impls(dirs, tmp_path):
     """Eval commands must reload a checkpoint trained under a different
