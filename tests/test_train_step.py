@@ -192,3 +192,31 @@ def test_remat_preserves_loss_and_grads():
         state, m2 = step(state, batch)
         losses.append((float(m["loss"]), float(m2["loss"])))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-6)
+
+
+def test_train_step_t5_family():
+    """The GTR/T5 encoder family trains through the same step: loss finite
+    and decreasing over a few repeats of one batch, params updating."""
+    from mfar_tpu.models import T5Config
+
+    rng = np.random.default_rng(0)
+    config = T5Config(
+        vocab_size=64, d_model=32, d_kv=8, num_heads=4, num_layers=2,
+        d_ff=64, dropout=0.0, projection_dim=16,
+    )
+    model = MFARModel(encoder_config=config, num_fields=2, query_cond=True)
+    opt = make_optimizer(encoder_lr=5e-3, weights_lr=1e-1, use_adafactor=True)
+    state = init_state(model, opt, seed=0)
+    batch = make_batch(rng)
+    step = jax.jit(make_train_step(model, opt))
+    w0 = np.asarray(
+        jax.tree.leaves(state.params["encoder"])[0]
+    ).copy()
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    w1 = np.asarray(jax.tree.leaves(state.params["encoder"])[0])
+    assert not np.allclose(w0, w1)
