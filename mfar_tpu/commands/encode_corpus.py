@@ -72,12 +72,9 @@ def main(argv=None) -> None:
 
     encoder = build_encoder(config)
 
-    mesh = None
-    if args.mesh == "auto" and len(jax.devices()) > 1:
-        from mfar_tpu.parallel.mesh import make_mesh
+    from mfar_tpu.parallel.mesh import mesh_from_flag
 
-        mesh = make_mesh()
-        print(f"[encode_corpus] mesh: {dict(mesh.shape)}")
+    mesh = mesh_from_flag(args.mesh, "encode_corpus")
 
     from mfar_tpu.eval.index_build import make_encode_fn
 

@@ -123,12 +123,9 @@ def main(argv=None) -> None:
         query_max_length=args.dev_max_length,
         seed=args.seed % (2**31),
     )
-    mesh = None
-    if args.mesh == "auto" and len(jax.devices()) > 1:
-        from mfar_tpu.parallel.mesh import make_mesh
+    from mfar_tpu.parallel.mesh import mesh_from_flag
 
-        mesh = make_mesh()
-        print(f"[mask_fields] mesh: {dict(mesh.shape)}")
+    mesh = mesh_from_flag(args.mesh, "mask_fields")
     additional_queries = additional_qrels = None
     if args.additional_partition:
         additional_queries = trec.read_queries(

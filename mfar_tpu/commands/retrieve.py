@@ -99,13 +99,12 @@ def main(argv=None) -> None:
 
     encoder = build_encoder(config)
 
-    mesh = None
-    if args.mesh == "auto" and len(jax.devices()) > 1 and not args.quantize \
-            and not args.use_pallas_gather:
-        from mfar_tpu.parallel.mesh import make_mesh
+    from mfar_tpu.parallel.mesh import mesh_from_flag
 
-        mesh = make_mesh()
-        print(f"[retrieve] mesh: {dict(mesh.shape)}")
+    # int8 / pallas-gather are single-chip knobs; they force --mesh off
+    mesh = None
+    if not args.quantize and not args.use_pallas_gather:
+        mesh = mesh_from_flag(args.mesh, "retrieve")
 
     from mfar_tpu.eval.index_build import make_encode_fn
 
@@ -133,7 +132,10 @@ def main(argv=None) -> None:
         mesh=mesh,
         corpus_per_slice=args.corpus_per_slice,
         mode=args.mode,
-        dense_dtype=jnp.bfloat16 if args.dense_dtype == "bf16" and not args.quantize else None,
+        # pallas gather and int8 manage their own corpus representation
+        dense_dtype=jnp.bfloat16
+        if args.dense_dtype == "bf16" and not args.quantize and not args.use_pallas_gather
+        else None,
     )
 
     qids = list(queries)

@@ -261,15 +261,18 @@ def main(argv=None) -> None:
                 f"--n-model {args.n_model} x --n-replica {args.n_replica} "
                 f"needs at least that many devices (have {n_dev})"
             )
-        # The batch must divide over the data shards; shrink the data axis
-        # (leaving spare chips idle) rather than die -- a batch of 4 simply
-        # cannot data-parallel 8 ways.
-        while n_data > 1 and args.train_batch_size % (n_data * args.n_replica):
-            n_data -= 1
+        # The batch must divide over the data shards; on a SINGLE-slice mesh
+        # shrink the data axis (leaving spare chips idle) rather than die --
+        # a batch of 4 simply cannot data-parallel 8 ways.  Multi-slice
+        # meshes need equal per-slice device counts, so no shrinking there.
+        if args.n_replica == 1:
+            while n_data > 1 and args.train_batch_size % n_data:
+                n_data -= 1
         if args.train_batch_size % (n_data * args.n_replica):
             raise SystemExit(
-                f"--train-batch-size {args.train_batch_size} is not divisible "
-                f"by --n-replica {args.n_replica}"
+                f"--train-batch-size {args.train_batch_size} must be divisible "
+                f"by n_replica x n_data = {args.n_replica} x {n_data} "
+                f"(pick a batch size or mesh shape that divides)"
             )
         used = n_data * args.n_model * args.n_replica
         mesh = make_mesh(

@@ -207,7 +207,65 @@ class RetrievalEngine:
                         f"(got {e}); falling back to the XLA gather"
                     )
 
+        # Prebuilt sparse indices may cover a different doc set or order
+        # than the corpus (e.g. --lexical-index built elsewhere).  Per field:
+        # None = rows aligned with doc_keys (fast positional paths), else an
+        # int64 [n_bm25] map of BM25 row -> corpus row (-1 = not in corpus).
+        self._sparse_row_map: Dict[str, Optional[np.ndarray]] = {}
+        key_to_row = None
+        for fk in self.sparse_keys:
+            index = self.sparse_indices.get(fk)
+            if index is None:
+                continue
+            keys = list(index.keys)
+            if keys == self.doc_keys:
+                self._sparse_row_map[fk] = None
+            else:
+                if key_to_row is None:
+                    key_to_row = {k_: i for i, k_ in enumerate(self.doc_keys)}
+                self._sparse_row_map[fk] = np.asarray(
+                    [key_to_row.get(k_, -1) for k_ in keys], np.int64
+                )
+        self._sparse_inv_map: Dict[str, np.ndarray] = {}  # corpus row -> BM25 row
+
     # ------------------------------------------------------------------
+
+    def _map_postings(self, fk: str, ids: np.ndarray, vals: np.ndarray):
+        """BM25-row postings -> corpus-row postings (docs outside the corpus
+        drop to id 0 / val 0, which scatter-adds nothing)."""
+        rm = self._sparse_row_map.get(fk)
+        if rm is None:
+            return ids, vals
+        mapped = rm[ids]
+        keep = mapped >= 0
+        return (
+            np.where(keep, mapped, 0).astype(np.int32),
+            np.where(keep, vals, 0.0).astype(np.float32),
+        )
+
+    def _map_dense_scores(self, fk: str, scores: np.ndarray) -> np.ndarray:
+        """[B, n_bm25] BM25 scores -> [B, n_pad] corpus-row-aligned scores."""
+        b = scores.shape[0]
+        out = np.zeros((b, self.n_pad), np.float32)
+        rm = self._sparse_row_map.get(fk)
+        if rm is None:
+            out[:, : scores.shape[1]] = scores
+        else:
+            keep = rm >= 0
+            out[:, rm[keep]] = scores[:, keep]
+        return out
+
+    def _inv_map(self, fk: str) -> Optional[np.ndarray]:
+        """corpus row -> BM25 row (-1 = doc absent from the index)."""
+        rm = self._sparse_row_map.get(fk)
+        if rm is None:
+            return None
+        if fk not in self._sparse_inv_map:
+            inv = np.full(self.n_docs, -1, np.int64)
+            keep = rm >= 0
+            inv[rm[keep]] = np.nonzero(keep)[0]
+            self._sparse_inv_map[fk] = inv
+        return self._sparse_inv_map[fk]
 
     def _qaxis(self, b: int) -> Optional[str]:
         """Query-shard axis for a batch of b rows (None unless the batch
@@ -252,7 +310,7 @@ class RetrievalEngine:
             if not np.any(w):
                 continue  # field masked out: skip the corpus scan entirely
             scores = self.sparse_indices[fk].get_scores_batch(cleaned)
-            comb[:, : self.n_docs] += w[:, None] * scores
+            comb += w[:, None] * self._map_dense_scores(fk, scores)
         return comb
 
     def _masked_out(self, field_idx: int) -> bool:
@@ -279,11 +337,11 @@ class RetrievalEngine:
             ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
             if ids.shape[1] * 2 > self.n_docs:  # postings denser than the corpus
                 dense = self.sparse_indices[fk].get_scores_batch(cleaned)
-                pad = np.zeros((b, self.n_pad - self.n_docs), np.float32)
                 comb = comb + w[:, None] * jnp.asarray(
-                    np.concatenate([dense, pad], axis=1)
+                    self._map_dense_scores(fk, dense)
                 )
                 continue
+            ids, vals = self._map_postings(fk, ids, vals)
             comb = comb.at[rows, jnp.asarray(ids)].add(
                 jnp.asarray(vals) * w[:, None]
             )
@@ -305,6 +363,7 @@ class RetrievalEngine:
             if self._masked_out(fd + s_i):
                 continue
             ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
+            ids, vals = self._map_postings(fk, ids, vals)
             per_field.append((ids, vals, s_i))
         if not per_field:
             return (
@@ -492,10 +551,16 @@ class RetrievalEngine:
         cleaned = [clean_query(t) for t in queries]
         for fk in self.sparse_keys:
             index = self.sparse_indices[fk]
+            rm = self._sparse_row_map.get(fk)
             hits = index.retrieve_batch(cleaned, top_k=min(self.recall_k, self.n_docs))
             for i, per_q in enumerate(hits):
                 for key, _ in per_q:
-                    cand_sets[i].add(index.key_to_id[key])
+                    row = index.key_to_id[key]
+                    if rm is not None:
+                        row = int(rm[row])
+                        if row < 0:  # doc absent from the corpus
+                            continue
+                    cand_sets[i].add(row)
 
         # static-width candidate matrix (padded; pad entries masked out)
         width = _round_up(max(max(len(s) for s in cand_sets), 1), 128)
@@ -545,8 +610,16 @@ class RetrievalEngine:
             # call per query per field) that round 1 shipped.
             sp = np.zeros((b, width, len(self.sparse_keys)), np.float32)
             for s_i, fk in enumerate(self.sparse_keys):
-                all_scores = self.sparse_indices[fk].get_scores_batch(cleaned)  # [B, N]
-                sp[:, :, s_i] = np.take_along_axis(all_scores, cand, axis=1)
+                all_scores = self.sparse_indices[fk].get_scores_batch(cleaned)  # [B, n_bm25]
+                inv = self._inv_map(fk)
+                if inv is None:  # index rows == corpus rows
+                    sp[:, :, s_i] = np.take_along_axis(all_scores, cand, axis=1)
+                else:  # prebuilt index with different doc set/order
+                    cand_bm = inv[cand]
+                    vals = np.take_along_axis(
+                        all_scores, np.maximum(cand_bm, 0), axis=1
+                    )
+                    sp[:, :, s_i] = np.where(cand_bm >= 0, vals, 0.0)
             sparse_scores = jnp.asarray(sp)
 
         mask = None if self.mask is None else jnp.asarray(self.mask, jnp.float32)

@@ -47,12 +47,22 @@ def load_library():
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float),
     ]
-    lib.mfar_bm25_postings_size.restype = ctypes.c_int64
-    lib.mfar_bm25_postings_size.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
-    lib.mfar_bm25_postings.argtypes = [
-        ctypes.c_void_p, ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-    ]
+    # Symbols added after round 1: a stale libmfar_native.so must degrade
+    # (scatter(nonzero(dense scores)) is an exact postings substitute), not
+    # take the whole native engine down.
+    try:
+        lib.mfar_bm25_postings_size.restype = ctypes.c_int64
+        lib.mfar_bm25_postings_size.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.mfar_bm25_postings.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.mfar_has_postings = True
+    except AttributeError:
+        print("[native] libmfar_native.so predates the postings API; "
+              "rebuild with `make -C mfar_tpu/native` for faster hybrid "
+              "serving (dense-scores fallback in use)")
+        lib.mfar_has_postings = False
     lib.mfar_bm25_save.restype = ctypes.c_int32
     lib.mfar_bm25_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.mfar_bm25_load.restype = ctypes.c_void_p
@@ -151,7 +161,13 @@ class NativeBM25:
 
     def get_postings(self, query: str) -> Tuple[np.ndarray, np.ndarray]:
         """Concatenated (doc_ids, impacts) of the query's terms -- one entry
-        per term occurrence (consumers scatter-add)."""
+        per term occurrence (consumers scatter-add).  With a stale library
+        (no postings symbols), the nonzeros of the dense score vector are an
+        exact substitute (duplicates already summed)."""
+        if not getattr(self._lib, "mfar_has_postings", False):
+            scores = self.get_scores(query)
+            (nz,) = np.nonzero(scores)
+            return nz.astype(np.int32), scores[nz].astype(np.float32)
         q = query.encode("utf-8")
         n = int(self._lib.mfar_bm25_postings_size(self._handle, q))
         ids = np.zeros(n, np.int32)

@@ -97,7 +97,6 @@ def dense_topk_chunked(
     O(B * (k + chunk)) regardless of corpus size.
     """
     n = docs_flat.shape[0]
-    b = qflat.shape[0]
     if n <= chunk_size:
         scores = jnp.dot(qflat, docs_flat.T, preferred_element_type=jnp.float32)
         idx = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
@@ -119,20 +118,29 @@ def dense_topk_chunked(
         top_s, sel = jax.lax.top_k(s, k)
         return top_s, jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
 
+    return _scan_chunked_topk(chunk_topk, (docs3, offsets), k)
+
+
+def _scan_chunked_topk(chunk_topk, chunked_inputs, k):
+    """Shared chunk-scan driver for every streaming top-k op in this module:
+    ``chunk_topk(*slices) -> (top_s [rows, k], top_i [rows, k])`` runs per
+    chunk, and an exact running top-k merge carries the best k across the
+    lax.scan.  The carry initializes from chunk 0 (not a -inf constant) so
+    its varying-mesh-axes match the body output when running inside
+    shard_map."""
+
     def step(carry, inp):
         top_s, top_i = carry
-        chunk_docs, offset = inp
-        s, i = chunk_topk(chunk_docs, offset)
+        s, i = chunk_topk(*inp)
         cat_s = jnp.concatenate([top_s, s], axis=1)
         cat_i = jnp.concatenate([top_i, i], axis=1)
         new_s, sel = jax.lax.top_k(cat_s, k)
-        new_i = jnp.take_along_axis(cat_i, sel, axis=1)
-        return (new_s, new_i), None
+        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
 
-    # The carry initializes from chunk 0 (not a -inf constant) so its
-    # varying-mesh-axes match the body output when running inside shard_map.
-    init = chunk_topk(docs3[0], offsets[0])
-    (top_s, top_i), _ = jax.lax.scan(step, init, (docs3[1:], offsets[1:]))
+    init = chunk_topk(*(x[0] for x in chunked_inputs))
+    (top_s, top_i), _ = jax.lax.scan(
+        step, init, tuple(x[1:] for x in chunked_inputs)
+    )
     return top_s, top_i
 
 
@@ -221,17 +229,7 @@ def dense_topk_chunked_approx(
         top_s, sel = _approx_topk_rows(s, k, recall_target, bias=bias)
         return top_s, offset + sel
 
-    def step(carry, inp):
-        top_s, top_i = carry
-        s, i = chunk_topk(*inp)
-        cat_s = jnp.concatenate([top_s, s], axis=1)
-        cat_i = jnp.concatenate([top_i, i], axis=1)
-        new_s, sel = jax.lax.top_k(cat_s, k)  # merge stays exact over 2k
-        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
-
-    init = chunk_topk(docs3[0], offsets[0])
-    (top_s, top_i), _ = jax.lax.scan(step, init, (docs3[1:], offsets[1:]))
-    return top_s, top_i
+    return _scan_chunked_topk(chunk_topk, (docs3, offsets), k)
 
 
 @partial(jax.jit, static_argnames=("num_fields", "k", "chunk_size", "recall_target"))
@@ -278,17 +276,7 @@ def per_field_topk_chunked_approx(
         num_chunks = n // chunk_size
         docs3 = docs_flat.reshape(num_chunks, chunk_size, -1)
         offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
-
-        def step(carry, inp):
-            top_s, top_i = carry
-            s, i = chunk_topk(*inp)
-            cat_s = jnp.concatenate([top_s, s], axis=1)
-            cat_i = jnp.concatenate([top_i, i], axis=1)
-            new_s, sel = jax.lax.top_k(cat_s, k)
-            return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
-
-        init = chunk_topk(docs3[0], offsets[0])
-        (top_s, top_i), _ = jax.lax.scan(step, init, (docs3[1:], offsets[1:]))
+        top_s, top_i = _scan_chunked_topk(chunk_topk, (docs3, offsets), k)
     # [F*B, k] -> [B, F, k]
     return (
         top_s.reshape(f, b, -1).transpose(1, 0, 2),
@@ -339,17 +327,7 @@ def hybrid_topk_chunked(
         top_s, sel = jax.lax.top_k(s, k)
         return top_s, offset + sel
 
-    def step(carry, inp):
-        top_s, top_i = carry
-        s, i = chunk_topk(*inp)
-        cat_s = jnp.concatenate([top_s, s], axis=1)
-        cat_i = jnp.concatenate([top_i, i], axis=1)
-        new_s, sel = jax.lax.top_k(cat_s, k)
-        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
-
-    init = chunk_topk(docs3[0], sparse3[0], offsets[0])
-    (top_s, top_i), _ = jax.lax.scan(step, init, (docs3[1:], sparse3[1:], offsets[1:]))
-    return top_s, top_i
+    return _scan_chunked_topk(chunk_topk, (docs3, sparse3, offsets), k)
 
 
 def quantize_rows_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -424,17 +402,7 @@ def dense_topk_chunked_approx_int8(
         top_s, sel = select(s, k)
         return top_s, offset + sel
 
-    def step(carry, inp):
-        top_s, top_i = carry
-        s, i = chunk_topk(*inp)
-        cat_s = jnp.concatenate([top_s, s], axis=1)
-        cat_i = jnp.concatenate([top_i, i], axis=1)
-        new_s, sel = jax.lax.top_k(cat_s, k)
-        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
-
-    init = chunk_topk(docs3[0], scales3[0], offsets[0])
-    (top_s, top_i), _ = jax.lax.scan(step, init, (docs3[1:], scales3[1:], offsets[1:]))
-    return top_s, top_i
+    return _scan_chunked_topk(chunk_topk, (docs3, scales3, offsets), k)
 
 
 @partial(jax.jit, static_argnames=("k", "chunk_size"))
@@ -480,19 +448,7 @@ def hybrid_topk_chunked_int8(
         top_s, sel = jax.lax.top_k(s, k)
         return top_s, offset + sel
 
-    def step(carry, inp):
-        top_s, top_i = carry
-        s, i = chunk_topk(*inp)
-        cat_s = jnp.concatenate([top_s, s], axis=1)
-        cat_i = jnp.concatenate([top_i, i], axis=1)
-        new_s, sel = jax.lax.top_k(cat_s, k)
-        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
-
-    init = chunk_topk(docs3[0], scales3[0], sparse3[0], offsets[0])
-    (top_s, top_i), _ = jax.lax.scan(
-        step, init, (docs3[1:], scales3[1:], sparse3[1:], offsets[1:])
-    )
-    return top_s, top_i
+    return _scan_chunked_topk(chunk_topk, (docs3, scales3, sparse3, offsets), k)
 
 
 def dense_topk_chunked_int8(qflat, docs_q, doc_scales, valid_n, k, chunk_size=131072):

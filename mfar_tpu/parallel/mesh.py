@@ -57,6 +57,18 @@ def make_mesh(
     return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
+def mesh_from_flag(flag: str, tag: str = "mesh") -> Optional[Mesh]:
+    """CLI bootstrap for ``--mesh auto``: the all-device serving mesh when
+    more than one chip is visible, else None.  One definition so the
+    serving commands cannot drift (callers add their own feature gating,
+    e.g. int8/pallas-gather force single-chip)."""
+    if flag != "auto" or len(jax.devices()) <= 1:
+        return None
+    mesh = make_mesh()
+    print(f"[{tag}] mesh: {dict(mesh.shape)}")
+    return mesh
+
+
 def batch_axes(mesh: Mesh) -> Union[str, Tuple[str, ...]]:
     """The axes the train batch / corpus shards over: ('replica', 'data')
     when the mesh has a real replica axis, else just 'data'."""

@@ -135,10 +135,6 @@ class Trainer:
             from mfar_tpu.parallel.mesh import batch_axes, n_batch_shards
 
             self._n_dp = n_batch_shards(mesh)
-            assert config.train_batch_size % self._n_dp == 0, (
-                f"train_batch_size {config.train_batch_size} must divide over "
-                f"the {self._n_dp} batch shards of mesh {dict(mesh.shape)}"
-            )
             self._batch_sharding = NamedSharding(mesh, P(batch_axes(mesh)))
 
     # ------------------------------------------------------------------
@@ -312,6 +308,14 @@ class Trainer:
 
     def fit(self, state: TrainState, start_epoch: int = 0) -> TrainState:
         cfg = self.cfg
+        if self.mesh is not None:
+            # checked here, not in __init__: eval-only flows (mask_fields,
+            # retrieve-from-checkpoint) build a Trainer over an arbitrary
+            # mesh and never train
+            assert cfg.train_batch_size % self._n_dp == 0, (
+                f"train_batch_size {cfg.train_batch_size} must divide over "
+                f"the {self._n_dp} batch shards of mesh {dict(self.mesh.shape)}"
+            )
         state = self.place_state(state)
         best_monitor = float("inf")
         epochs_without_improvement = 0

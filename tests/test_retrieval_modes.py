@@ -246,6 +246,55 @@ def test_exact_hybrid_int8(world):
         assert len(want & got) >= 5, (want, got)
 
 
+@pytest.mark.parametrize("mode", ["exact", "rerank"])
+def test_misaligned_prebuilt_sparse_index(world, mode):
+    """A prebuilt BM25 index whose doc set/order differs from the corpus
+    (subset, shuffled) must score by KEY, not position: results equal an
+    aligned engine where scores exist, and missing docs score 0."""
+    w = world
+    from mfar_tpu.data.format import format_documents
+    from mfar_tpu.sparse.bm25 import BM25Index
+
+    pairs = format_documents(w["corpus"].pairs(), "title", "amazon")
+    rng = np.random.default_rng(3)
+    sub = [pairs[i] for i in rng.permutation(len(pairs))[:30]]  # shuffled subset
+    mis_index = BM25Index.create(sub, name="title")
+    assert list(mis_index.keys) != list(w["corpus"].keys())
+
+    eng = make_engine(w, recall_k=len(w["corpus"]))
+    eng_mis = RetrievalEngine(
+        field_info=w["field_info"],
+        doc_keys=list(w["corpus"].keys()),
+        encode_fn=w["encode_fn"],
+        tokenizer=w["tok"],
+        mixer_params=w["mixer"],
+        dense_matrix=w["matrix"],
+        sparse_indices={"title_sparse": mis_index},
+        query_max_length=64,
+        recall_k=len(w["corpus"]),
+    )
+    assert eng_mis._sparse_row_map["title_sparse"] is not None
+
+    queries = list(w["queries"].values())[:5]
+    got = eng_mis.retrieve(queries, top_k=8, mode=mode)
+
+    # ground truth: dense per-field + BM25-by-key (missing keys -> 0)
+    q = np.asarray(eng.encode_queries(queries), np.float32)
+    logits = q @ np.asarray(w["mixer"]["weight"])
+    wts = np.exp(logits - logits.max(-1, keepdims=True))
+    wts /= wts.sum(-1, keepdims=True)
+    from mfar_tpu.train.data_pipeline import clean_query
+
+    sp = mis_index.score_batch(
+        [clean_query(t) for t in queries], list(w["corpus"].keys())
+    )  # key-based; unknown keys 0
+    dense = np.einsum("be,nfe->bnf", q, w["matrix"])
+    full = np.einsum("bnf,bf->bn", dense, wts[:, :2]) + wts[:, 2:3] * sp
+    for i, hits in enumerate(got):
+        want = np.argsort(-full[i], kind="stable")[:8]
+        assert [w["corpus"].key_to_id[k] for k, _ in hits] == list(want), mode
+
+
 # ---------------------------------------------------------------------------
 # ops
 
