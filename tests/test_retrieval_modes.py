@@ -246,6 +246,24 @@ def test_exact_hybrid_int8(world):
         assert len(want & got) >= 5, (want, got)
 
 
+def test_dense_dtype_bf16_close_to_f32(world):
+    """--dense-dtype bf16 (half corpus HBM): near-identical rankings to the
+    f32 corpus (bf16 rounding only reorders near-ties)."""
+    w = world
+    eng32 = make_engine(w)
+    eng16 = make_engine(w, dense_dtype=jnp.bfloat16)
+    assert eng16.docs_flat.dtype == jnp.bfloat16
+    queries = list(w["queries"].values())[:5]
+    r32 = eng32.retrieve(queries, top_k=8, mode="exact")
+    r16 = eng16.retrieve(queries, top_k=8, mode="exact")
+    for h32, h16 in zip(r32, r16):
+        overlap = {k for k, _ in h32} & {k for k, _ in h16}
+        assert len(overlap) >= 7, (h32, h16)
+        np.testing.assert_allclose(
+            [s for _, s in h16][:5], [s for _, s in h32][:5], rtol=2e-2, atol=2e-2
+        )
+
+
 @pytest.mark.parametrize("mode", ["exact", "rerank"])
 def test_misaligned_prebuilt_sparse_index(world, mode):
     """A prebuilt BM25 index whose doc set/order differs from the corpus
