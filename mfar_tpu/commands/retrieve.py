@@ -60,6 +60,11 @@ def main(argv=None) -> None:
     p.add_argument("--mesh", default="auto", choices=["auto", "off"],
                    help="auto: shard the corpus over all visible chips and "
                         "serve with distributed top-k; off: single chip")
+    p.add_argument("--n-model", type=int, default=1,
+                   help="tensor-parallel mesh axis size")
+    p.add_argument("--n-replica", type=int, default=1,
+                   help="cross-slice axis size (required for --corpus-per-slice "
+                        "query-batch sharding to engage)")
     p.add_argument("--corpus-per-slice", action="store_true",
                    help="replicate the corpus per slice (shard only within a "
                         "slice over ICI); higher QPS when it fits one slice, "
@@ -104,7 +109,8 @@ def main(argv=None) -> None:
     # int8 / pallas-gather are single-chip knobs; they force --mesh off
     mesh = None
     if not args.quantize and not args.use_pallas_gather:
-        mesh = mesh_from_flag(args.mesh, "retrieve")
+        mesh = mesh_from_flag(args.mesh, "retrieve",
+                              n_model=args.n_model, n_replica=args.n_replica)
 
     from mfar_tpu.eval.index_build import make_encode_fn
 

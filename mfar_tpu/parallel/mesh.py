@@ -57,14 +57,21 @@ def make_mesh(
     return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
 
 
-def mesh_from_flag(flag: str, tag: str = "mesh") -> Optional[Mesh]:
+def mesh_from_flag(
+    flag: str, tag: str = "mesh", n_model: int = 1, n_replica: int = 1
+) -> Optional[Mesh]:
     """CLI bootstrap for ``--mesh auto``: the all-device serving mesh when
     more than one chip is visible, else None.  One definition so the
     serving commands cannot drift (callers add their own feature gating,
     e.g. int8/pallas-gather force single-chip)."""
     if flag != "auto" or len(jax.devices()) <= 1:
         return None
-    mesh = make_mesh()
+    if len(jax.devices()) % (n_model * n_replica):
+        raise SystemExit(
+            f"n_model x n_replica = {n_model} x {n_replica} must divide the "
+            f"{len(jax.devices())} visible devices"
+        )
+    mesh = make_mesh(n_model=n_model, n_replica=n_replica)
     print(f"[{tag}] mesh: {dict(mesh.shape)}")
     return mesh
 

@@ -151,3 +151,26 @@ def test_encode_corpus_then_retrieve_prebuilt(dirs, tmp_path):
     pre = [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(out_pre)]
     live = [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(out_live)]
     assert pre == live and pre
+
+
+def test_retrieve_cli_multi_slice(dirs, tmp_path):
+    """Multi-slice serving flags: replica x data mesh with a per-slice
+    corpus and query-batch sharding, same results as single-chip."""
+    from mfar_tpu.commands import retrieve as retrieve_cmd
+    from mfar_tpu.data import trec
+
+    base = [
+        "--dataset-name", "amazon", "--data", dirs["ds"],
+        "--lexical-index", dirs["idx"],
+        "--field-names", "title_dense,title_sparse", "--model-name", "synthetic",
+        "--partition", "val", "--recall-k", "10", "--top-k", "10",
+        "--mode", "exact",
+    ]
+    out_1 = str(tmp_path / "single.qres")
+    retrieve_cmd.main(base + ["--out", out_1, "--mesh", "off"])
+    out_ms = str(tmp_path / "multislice.qres")
+    retrieve_cmd.main(base + ["--out", out_ms, "--n-replica", "2",
+                              "--corpus-per-slice"])
+    r1 = [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(out_1)]
+    rm = [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(out_ms)]
+    assert r1 == rm and r1
