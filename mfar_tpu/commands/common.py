@@ -21,6 +21,24 @@ from mfar_tpu.models.registry import prepare_model
 from mfar_tpu.sparse.bm25 import BM25Index
 
 
+
+def normalize_argv(argv):
+    """Accept the reference's underscore flag spelling (fire-style
+    ``--encoder_lr``; its README mixes both forms) by rewriting flag tokens
+    to argparse's hyphenated names.  Only the flag part is touched (values,
+    including ``--flag=value`` values, pass through untouched)."""
+    import sys
+
+    if argv is None:
+        argv = sys.argv[1:]
+    out = []
+    for tok in argv:
+        if isinstance(tok, str) and tok.startswith("--"):
+            flag, sep, value = tok.partition("=")
+            tok = flag.replace("_", "-") + sep + value
+        out.append(tok)
+    return out
+
 def add_data_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--dataset-name", required=True, help="mag | prime | amazon | whatsthatbook")
     p.add_argument("--data", default=None, help="directory with corpus + queries (sets both)")

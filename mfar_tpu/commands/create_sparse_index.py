@@ -15,13 +15,16 @@ from mfar_tpu.data.schema import resolve_fields
 from mfar_tpu.sparse.bm25 import BM25Index
 
 
+from mfar_tpu.commands.common import normalize_argv
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-path", required=True, help="directory containing the corpus tsv")
     p.add_argument("--dataset-name", required=True)
     p.add_argument("--output-path", required=True)
     p.add_argument("--fields-str", default="all_sparse,single_sparse")
-    args = p.parse_args(argv)
+    args = p.parse_args(normalize_argv(argv))
 
     fields = resolve_fields(args.fields_str, args.dataset_name)
     corpus = list(trec.read_corpus(f"{args.data_path}/corpus"))

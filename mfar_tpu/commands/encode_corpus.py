@@ -15,7 +15,8 @@ import os
 import jax
 import jax.numpy as jnp
 
-from mfar_tpu.commands.common import (
+from mfar_tpu.commands.common import (  # noqa: F401
+    normalize_argv,
     add_data_args,
     corpus_texts_for_vocab,
     load_corpus,
@@ -39,7 +40,7 @@ def main(argv=None) -> None:
     p.add_argument("--prefix", action="store_true")
     p.add_argument("--mesh", default="auto", choices=["auto", "off"],
                    help="auto: shard encode batches over all visible chips")
-    args = p.parse_args(argv)
+    args = p.parse_args(normalize_argv(argv))
     resolve_data_dirs(args)
 
     field_info = resolve_fields(args.field_names, args.dataset_name)

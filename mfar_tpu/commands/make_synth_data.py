@@ -11,6 +11,9 @@ from __future__ import annotations
 import argparse
 
 
+from mfar_tpu.commands.common import normalize_argv
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--out", required=True)
@@ -20,7 +23,7 @@ def main(argv=None) -> None:
     p.add_argument("--n-train", type=int, default=50)
     p.add_argument("--n-val", type=int, default=15)
     p.add_argument("--seed", type=int, default=0)
-    args = p.parse_args(argv)
+    args = p.parse_args(normalize_argv(argv))
 
     from mfar_tpu.data.synth import make_corpus, write_dataset_dir
 

@@ -16,7 +16,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from mfar_tpu.commands.common import (
+from mfar_tpu.commands.common import (  # noqa: F401
+    normalize_argv,
     add_data_args,
     corpus_texts_for_vocab,
     load_corpus,
@@ -74,7 +75,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    args = build_parser().parse_args(normalize_argv(argv))
     resolve_data_dirs(args)
     os.makedirs(args.out, exist_ok=True)
 

@@ -22,6 +22,9 @@ from mfar_tpu.sparse.bm25 import BM25Index
 from mfar_tpu.train.sparse_cache import save_field_scores
 
 
+from mfar_tpu.commands.common import normalize_argv
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--data-path", required=True, help="directory with train.queries / train.qrels")
@@ -31,7 +34,7 @@ def main(argv=None) -> None:
     p.add_argument("--index-path", required=True, help="dir with single_sparse_sparse_index")
     p.add_argument("--fields-str", default="all_sparse,single_sparse")
     p.add_argument("--n-retrieve", type=int, default=150)
-    args = p.parse_args(argv)
+    args = p.parse_args(normalize_argv(argv))
 
     fields = resolve_fields(args.fields_str, args.dataset_name)
     if any(f.field_type == FieldType.DENSE for f in fields.values()):

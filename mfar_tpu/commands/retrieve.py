@@ -16,7 +16,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from mfar_tpu.commands.common import (
+from mfar_tpu.commands.common import (  # noqa: F401
+    normalize_argv,
     add_data_args,
     corpus_texts_for_vocab,
     load_corpus,
@@ -69,7 +70,7 @@ def main(argv=None) -> None:
                    help="replicate the corpus per slice (shard only within a "
                         "slice over ICI); higher QPS when it fits one slice, "
                         "vs the default cross-slice sharding for capacity")
-    args = p.parse_args(argv)
+    args = p.parse_args(normalize_argv(argv))
     resolve_data_dirs(args)
 
     field_info = resolve_fields(args.field_names, args.dataset_name)

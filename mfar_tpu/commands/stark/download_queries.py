@@ -54,12 +54,15 @@ def download(dataset_name: str, out: str, max_docs=None) -> None:
             raise ValueError(f"Partition {partition} has no queries.")
 
 
+from mfar_tpu.commands.common import normalize_argv
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset-name", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--max-docs", default=None)
-    args = p.parse_args(argv)
+    args = p.parse_args(normalize_argv(argv))
     download(args.dataset_name, args.out, args.max_docs)
 
 

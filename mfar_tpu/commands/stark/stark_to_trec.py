@@ -113,12 +113,15 @@ def convert(dataset_name: str, out: str, max_docs: int = -1) -> None:
     print(f"Corpus {dataset_name} has {len(indices)} documents.")
 
 
+from mfar_tpu.commands.common import normalize_argv
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset-name", required=True, choices=list(EDGE_FIELD_DICTS))
     p.add_argument("--out", required=True)
     p.add_argument("--max-docs", type=int, default=-1)
-    args = p.parse_args(argv)
+    args = p.parse_args(normalize_argv(argv))
     convert(args.dataset_name, args.out, args.max_docs)
 
 

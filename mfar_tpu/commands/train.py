@@ -24,7 +24,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-from mfar_tpu.commands.common import (
+from mfar_tpu.commands.common import (  # noqa: F401
+    normalize_argv,
     add_data_args,
     corpus_texts_for_vocab,
     load_corpus,
@@ -139,7 +140,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
-    args = build_parser().parse_args(argv)
+    args = build_parser().parse_args(normalize_argv(argv))
     try:  # before any PRNG key exists; no-op if something already made one
         jax.config.update("jax_default_prng_impl", args.prng)
     except Exception as e:

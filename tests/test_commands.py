@@ -174,3 +174,20 @@ def test_retrieve_cli_multi_slice(dirs, tmp_path):
     r1 = [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(out_1)]
     rm = [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(out_ms)]
     assert r1 == rm and r1
+
+
+def test_underscore_flag_aliases(dirs, tmp_path):
+    """The reference's fire CLI accepts underscore flags (--encoder_lr);
+    its README mixes both spellings. Drop-in users keep their commands."""
+    from mfar_tpu.commands import retrieve as retrieve_cmd
+    from mfar_tpu.data import trec
+
+    out = str(tmp_path / "underscore.qres")
+    retrieve_cmd.main([
+        "--dataset_name", "amazon", "--data", dirs["ds"],
+        "--lexical_index", dirs["idx"],
+        "--field_names", "title_dense,title_sparse", "--model_name", "synthetic",
+        "--partition", "val", "--recall_k", "10", "--top_k", "10",
+        "--out", out, "--mesh", "off",
+    ])
+    assert list(trec.QRes.from_file(out))
