@@ -55,9 +55,9 @@ def main(argv=None) -> None:
                    help="device dtype for the corpus matrix; bf16 (default) "
                         "halves HBM (1M 5-field docs: 7.4 GB vs 15 GB)")
     p.add_argument("--mode", default="auto", choices=["auto", "exact", "rerank"],
-                   help="exact fuses full-corpus scoring (hybrid-capable); "
-                        "rerank is the reference-compat recall+rerank; auto = "
-                        "exact for all-dense, rerank for hybrid")
+                   help="exact (the default) fuses full-corpus scoring, "
+                        "hybrid-capable; rerank is the reference-compat "
+                        "recall+rerank approximation")
     p.add_argument("--mesh", default="auto", choices=["auto", "off"],
                    help="auto: shard the corpus over all visible chips and "
                         "serve with distributed top-k; off: single chip")

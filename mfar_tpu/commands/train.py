@@ -117,9 +117,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "contriever scale without it)")
     p.add_argument("--recall-k", type=int, default=100)
     p.add_argument("--retrieval-mode", default="auto", choices=["auto", "exact", "rerank"],
-                   help="eval serving mode: exact fuses full-corpus scoring "
-                        "(hybrid-capable); rerank is the reference-compat "
-                        "recall+rerank; auto = exact for all-dense, rerank for hybrid")
+                   help="eval serving mode: exact (the default) fuses full-corpus "
+                        "scoring, hybrid-capable; rerank is the reference-"
+                        "compat recall+rerank approximation")
     p.add_argument("--mesh", default="auto", choices=["auto", "off"],
                    help="auto: build a device mesh over all visible chips and "
                         "shard the train batch, optimizer state, and eval corpus "

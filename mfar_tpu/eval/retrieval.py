@@ -671,9 +671,9 @@ class RetrievalEngine:
     def retrieve(
         self, queries: Sequence[str], top_k: int = 100, mode: Optional[str] = None
     ) -> List[List[Tuple[str, float]]]:
-        """``mode``: 'exact' (fused full-corpus scoring, hybrid-capable),
-        'rerank' (reference-compat recall+rerank), or 'auto' (exact for
-        all-dense, rerank for hybrid -- the reference's own asymmetry)."""
+        """``mode``: 'exact' (fused full-corpus scoring, hybrid-capable;
+        the default), 'rerank' (reference-compat recall+rerank), or 'auto'
+        (= exact)."""
         mode = self._resolve_mode(mode)
         if mode == "exact":
             return self.retrieve_exact(queries, top_k)
@@ -682,9 +682,11 @@ class RetrievalEngine:
     def _resolve_mode(self, mode: Optional[str]) -> str:
         mode = mode or self.mode
         if mode == "auto":
-            # exact for all-dense, rerank for hybrid -- the reference's own
-            # train/eval asymmetry stays the compat default
-            mode = "exact" if (not self.sparse_keys and self.has_dense) else "rerank"
+            # exact is the default everywhere: full-corpus fused scoring is
+            # this framework's point (the reference can only approximate
+            # hybrid retrieval with top-100 unions + rerank, which remains
+            # available as the explicit compat mode)
+            mode = "exact"
         return mode
 
     # ------------------------------------------------------------------
