@@ -19,7 +19,14 @@ Methodology: every timed region runs device work inside one jitted program
 per dispatch round and ends with a single scalar/array host fetch -- the
 TPU relay on this rig has ~35 ms round-trips and a non-blocking
 block_until_ready, so per-batch fetches would dominate (see BENCH_NOTES.md).
-Each section is independently try/except'd: the one JSON line always prints.
+Relay-proofing (round 3): before any device work, a SUBPROCESS probe runs a
+tiny jitted matmul under a generous timeout (MFAR_BENCH_PROBE_TIMEOUT,
+default 300 s); if the backend is unreachable the script still prints the
+one JSON line, with extra.status="backend-unavailable", and exits 0 --
+backend init cannot be interrupted in-process, which is why round 2's run
+crashed (rc=1) instead of reporting.  Each section is independently
+try/except'd and the headline itself is guarded: the one JSON line always
+prints.
 
 Baseline: the reference's own retrieval algorithm (torch CPU matmul + topk)
 measured on this host over a corpus slice and scaled linearly in N.
@@ -31,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -232,9 +240,73 @@ def index_build_docs_per_s(world, n_docs: int = 2048, enc_batch: int = 256) -> f
     return len(texts) / (time.perf_counter() - t0)
 
 
+def backend_probe(timeout_s: float) -> tuple[bool, str]:
+    """Run a tiny jitted matmul in a SUBPROCESS with a generous timeout.
+
+    The TPU here sits behind a relay tunnel that can be wedged or gone
+    entirely (round 2: backend init raised UNAVAILABLE before any section's
+    try/except, so the driver got a traceback instead of a JSON line, or --
+    worse -- hung past the driver timeout).  Backend init cannot be
+    interrupted in-process, so probe out-of-process: if the child can't
+    complete one 128x128 matmul inside the timeout, report the backend
+    unavailable and let main() emit a parseable status line instead of
+    crashing.
+    """
+    # The child must re-assert the parent's platform via jax.config AFTER
+    # importing jax: this rig's sitecustomize force-registers the TPU relay
+    # backend at interpreter startup and the env var alone does not win.
+    platform = os.environ.get("JAX_PLATFORMS", "")
+    force = (
+        f"jax.config.update('jax_platforms', {platform!r})\n" if platform else ""
+    )
+    code = (
+        "import jax\n"
+        + force
+        + "import jax.numpy as jnp\n"
+        "x = jnp.ones((128, 128), jnp.bfloat16)\n"
+        "print('PROBE_OK', float((x @ x).sum()), jax.devices()[0].platform)\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"probe timed out after {timeout_s:.0f}s"
+    except Exception as e:  # noqa: BLE001 -- any probe failure => unavailable
+        return False, f"probe failed to launch: {e}"
+    if r.returncode == 0 and "PROBE_OK" in r.stdout:
+        return True, r.stdout.strip().splitlines()[-1]
+    tail = (r.stderr or r.stdout or "").strip().splitlines()
+    return False, " | ".join(tail[-3:])[-500:] if tail else f"rc={r.returncode}"
+
+
+def emit(qps, base, extra, status="ok"):
+    """The ONE JSON line the driver parses.  Always reachable."""
+    print(
+        json.dumps(
+            {
+                "metric": "fused_multifield_topk_qps",
+                "value": round(qps, 2),
+                "unit": "queries/s/chip (N=1M docs, F=5, E=768, k=100, bf16, B=256)",
+                "vs_baseline": round(qps / base, 2) if base else 0.0,
+                "extra": dict(extra, status=status),
+            }
+        ),
+        flush=True,
+    )
+
+
 def main():
     extra = {}
     start = time.perf_counter()
+
+    probe_timeout = float(os.environ.get("MFAR_BENCH_PROBE_TIMEOUT", "300"))
+    ok, info = backend_probe(probe_timeout)
+    print(f"[bench] backend probe: ok={ok} ({info})", file=sys.stderr, flush=True)
+    if not ok:
+        emit(0.0, 0.0, {"probe": info}, status="backend-unavailable")
+        return 0
     # Extras stop starting once the budget is spent (a cold compile cache or
     # slow tunnel must not push the run past the driver's timeout -- the
     # headline JSON line must always print).
@@ -253,9 +325,13 @@ def main():
             extra[name] = None
             print(f"[bench] {name} FAILED: {e}", file=sys.stderr, flush=True)
 
-    docs = make_docs()
-    qps = op_qps(docs, B, Q)
-    base = baseline_qps()
+    try:
+        docs = make_docs()
+        qps = op_qps(docs, B, Q)
+        base = baseline_qps()
+    except Exception as e:  # noqa: BLE001 -- a dead relay mid-run must still emit
+        emit(0.0, 0.0, {"error": f"{type(e).__name__}: {e}"[:500]}, status="headline-failed")
+        return 0
 
     if not os.environ.get("MFAR_BENCH_FAST"):
         world = engine_world(docs)
@@ -276,17 +352,7 @@ def main():
         del docs
         section("train_step_ms", train_step_ms)
 
-    print(
-        json.dumps(
-            {
-                "metric": "fused_multifield_topk_qps",
-                "value": round(qps, 2),
-                "unit": "queries/s/chip (N=1M docs, F=5, E=768, k=100, bf16, B=256)",
-                "vs_baseline": round(qps / base, 2),
-                "extra": extra,
-            }
-        )
-    )
+    emit(qps, base, extra)
 
 
 if __name__ == "__main__":

@@ -44,9 +44,46 @@ def test_main_json_line(monkeypatch, capsys):
     """MFAR_BENCH_FAST main prints exactly one parseable JSON line with the
     required keys."""
     monkeypatch.setenv("MFAR_BENCH_FAST", "1")
+    monkeypatch.setattr(bench, "backend_probe", lambda t: (True, "patched"))
     bench.main()
     lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1
     rec = json.loads(lines[0])
     assert {"metric", "value", "unit", "vs_baseline", "extra"} <= set(rec)
     assert rec["value"] > 0
+    assert rec["extra"]["status"] == "ok"
+
+
+def test_backend_probe_real():
+    """The out-of-process probe succeeds against the test backend (CPU)."""
+    ok, info = bench.backend_probe(180.0)
+    assert ok, info
+
+
+def test_main_backend_unavailable(monkeypatch, capsys):
+    """A dead relay yields a parseable status line and rc=0, not a crash
+    (round-2 failure mode: BENCH_r02.json rc=1, parsed=null)."""
+    monkeypatch.setattr(bench, "backend_probe", lambda t: (False, "relay gone"))
+    assert bench.main() == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["extra"]["status"] == "backend-unavailable"
+    assert rec["extra"]["probe"] == "relay gone"
+    assert rec["value"] == 0
+
+
+def test_main_headline_failure_still_emits(monkeypatch, capsys):
+    """A relay dying mid-headline still produces the JSON line with rc=0."""
+    monkeypatch.setenv("MFAR_BENCH_FAST", "1")
+    monkeypatch.setattr(bench, "backend_probe", lambda t: (True, "patched"))
+
+    def boom():
+        raise RuntimeError("relay died mid-run")
+
+    monkeypatch.setattr(bench, "make_docs", boom)
+    assert bench.main() == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    rec = json.loads(lines[0])
+    assert rec["extra"]["status"] == "headline-failed"
+    assert "relay died" in rec["extra"]["error"]
