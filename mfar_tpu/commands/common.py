@@ -25,15 +25,24 @@ from mfar_tpu.sparse.bm25 import BM25Index
 def normalize_argv(argv):
     """Accept the reference's underscore flag spelling (fire-style
     ``--encoder_lr``; its README mixes both forms) by rewriting flag tokens
-    to argparse's hyphenated names.  Only the flag part is touched (values,
-    including ``--flag=value`` values, pass through untouched)."""
+    to argparse's hyphenated names.  Only tokens shaped like a flag
+    (``--name`` or ``--name=value``) are rewritten, and nothing after a bare
+    ``--`` separator -- free-text values that merely start with ``--`` pass
+    through untouched."""
+    import re
     import sys
 
     if argv is None:
         argv = sys.argv[1:]
+    flag_re = re.compile(r"^--[A-Za-z0-9][A-Za-z0-9_-]*($|=)")
     out = []
+    literal = False
     for tok in argv:
-        if isinstance(tok, str) and tok.startswith("--"):
+        if literal:
+            pass
+        elif tok == "--":
+            literal = True
+        elif isinstance(tok, str) and flag_re.match(tok):
             flag, sep, value = tok.partition("=")
             tok = flag.replace("_", "-") + sep + value
         out.append(tok)

@@ -53,11 +53,15 @@ def main(argv=None) -> None:
                         "second corpus copy in HBM -- see ops/pallas_kernels.py)")
     p.add_argument("--dense-dtype", default="bf16", choices=["bf16", "f32"],
                    help="device dtype for the corpus matrix; bf16 (default) "
-                        "halves HBM (1M 5-field docs: 7.4 GB vs 15 GB)")
+                        "halves HBM (1M 5-field docs: 7.4 GB vs 15 GB) at "
+                        "bf16 rounding of each corpus embedding -- pass f32 "
+                        "for bit-exact f32 scoring (reference numerics)")
     p.add_argument("--mode", default="auto", choices=["auto", "exact", "rerank"],
-                   help="exact (the default) fuses full-corpus scoring, "
-                        "hybrid-capable; rerank is the reference-compat "
-                        "recall+rerank approximation")
+                   help="exact (the default) fuses full-corpus scoring "
+                        "(exhaustive over every document -- 'exact' refers "
+                        "to the search scope; score precision follows "
+                        "--dense-dtype), hybrid-capable; rerank is the "
+                        "reference-compat recall+rerank approximation")
     p.add_argument("--mesh", default="auto", choices=["auto", "off"],
                    help="auto: shard the corpus over all visible chips and "
                         "serve with distributed top-k; off: single chip")

@@ -161,17 +161,18 @@ class RetrievalEngine:
                 flat = dense_matrix
             self.emb_dim = e
             if mesh is not None:
-                # every shard must hold the same row count; big corpora also
-                # pad so each shard chunks evenly
+                # Every shard must hold the same row count -- pad to a
+                # multiple of n_shards ONLY.  The streaming top-k ops handle
+                # a ragged tail chunk per shard, so no chunk-multiple
+                # padding (which cost up to ~75% extra HBM + scan work for
+                # corpora just past a shard*chunk boundary, e.g. 600K docs
+                # on 4 shards padding to 1M rows).
                 axes = self._corpus_axes if isinstance(self._corpus_axes, tuple) \
                     else (self._corpus_axes,)
                 n_shards = int(np.prod([mesh.shape[a] for a in axes]))
-                mult = n_shards * TOPK_CHUNK if n > n_shards * TOPK_CHUNK else n_shards
-                if _round_up(n, mult) != n:  # np.pad would D2H-copy a
-                    #                          device-resident aligned corpus
-                    flat = np.pad(flat, ((0, _round_up(n, mult) - n), (0, 0)))
-            elif n > TOPK_CHUNK and n % TOPK_CHUNK:  # pad for the chunked scans
-                flat = np.pad(flat, ((0, _round_up(n, TOPK_CHUNK) - n), (0, 0)))
+                if n % n_shards:  # np.pad would D2H-copy a
+                    #               device-resident aligned corpus
+                    flat = np.pad(flat, ((0, _round_up(n, n_shards) - n), (0, 0)))
             self.n_pad = flat.shape[0]
             if quantize == "int8":
                 assert not use_pallas_gather, "pallas gather path is full-precision only"
@@ -335,7 +336,12 @@ class RetrievalEngine:
                 continue  # field masked out: skip the host scan entirely
             w = weights[:, fd + s_i].astype(jnp.float32)
             ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
-            if ids.shape[1] * 2 > self.n_docs:  # postings denser than the corpus
+            # Density check on the UNPADDED mean nnz per query (BM25 impacts
+            # are strictly positive; zeros are padding).  The padded batch-max
+            # width would flip small corpora (n_docs < 2*pad) or a batch with
+            # one outlier-long query onto the dense [B, N] host path even
+            # when most queries have tiny postings.
+            if float((vals != 0).sum()) * 2 > b * self.n_docs:
                 dense = self.sparse_indices[fk].get_scores_batch(cleaned)
                 comb = comb + w[:, None] * jnp.asarray(
                     self._map_dense_scores(fk, dense)
@@ -370,8 +376,12 @@ class RetrievalEngine:
                 np.zeros((b, 128), np.int32),
                 jnp.zeros((b, 128), jnp.float32),
             )
-        m_total = sum(ids.shape[1] for ids, _, _ in per_field)
-        if m_total * 2 > self.n_docs:
+        # Unpadded total nnz across fields vs the corpus (see
+        # _sparse_comb_device: the padded width misjudges small corpora and
+        # outlier-long queries).  NB vals may already live on device for the
+        # native path; these are host numpy arrays here.
+        nnz_total = sum(float((np.asarray(v) != 0).sum()) for _, v, _ in per_field)
+        if nnz_total * 2 > b * self.n_docs:
             return None
         ids = np.concatenate([i for i, _, _ in per_field], axis=1)
         vals = jnp.concatenate(

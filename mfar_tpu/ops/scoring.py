@@ -85,7 +85,7 @@ def fuse_and_mix(
 @partial(jax.jit, static_argnames=("k", "chunk_size"))
 def dense_topk_chunked(
     qflat: jax.Array,  # [B, F*E] folded queries
-    docs_flat: jax.Array,  # [N, F*E], N padded to a multiple of chunk_size
+    docs_flat: jax.Array,  # [N, F*E] (no chunk-multiple padding needed)
     valid_n: jax.Array,  # scalar: number of real (non-padding) rows
     k: int,
     chunk_size: int = 131072,
@@ -105,43 +105,74 @@ def dense_topk_chunked(
         top_s, top_i = jax.lax.top_k(scores, kk)
         return _pad_topk(top_s, top_i, k)
 
-    assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
     assert k <= chunk_size, "top-k carry must fit in one chunk"
-    num_chunks = n // chunk_size
-    docs3 = docs_flat.reshape(num_chunks, chunk_size, -1)
-    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
 
     def chunk_topk(chunk_docs, offset):
+        c = chunk_docs.shape[0]
         s = jnp.dot(qflat, chunk_docs.T, preferred_element_type=jnp.float32)
-        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         s = jnp.where(idx < valid_n, s, -jnp.inf)
-        top_s, sel = jax.lax.top_k(s, k)
-        return top_s, jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
+        top_s, sel = jax.lax.top_k(s, min(k, c))
+        top_i = jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
+        return _pad_topk(top_s, top_i, k)
 
-    return _scan_chunked_topk(chunk_topk, (docs3, offsets), k)
+    return _stream_chunked_topk(chunk_topk, ((docs_flat, 0),), n, chunk_size, k)
 
 
-def _scan_chunked_topk(chunk_topk, chunked_inputs, k):
-    """Shared chunk-scan driver for every streaming top-k op in this module:
-    ``chunk_topk(*slices) -> (top_s [rows, k], top_i [rows, k])`` runs per
-    chunk, and an exact running top-k merge carries the best k across the
-    lax.scan.  The carry initializes from chunk 0 (not a -inf constant) so
-    its varying-mesh-axes match the body output when running inside
-    shard_map."""
+def _merge_topk(a, b, k):
+    """Merge two (scores, indices) running top-k pairs along the last axis."""
+    cat_s = jnp.concatenate([a[0], b[0]], axis=-1)
+    cat_i = jnp.concatenate([a[1], b[1]], axis=-1)
+    new_s, sel = jax.lax.top_k(cat_s, k)
+    return new_s, jnp.take_along_axis(cat_i, sel, axis=-1)
 
-    def step(carry, inp):
-        top_s, top_i = carry
-        s, i = chunk_topk(*inp)
-        cat_s = jnp.concatenate([top_s, s], axis=1)
-        cat_i = jnp.concatenate([top_i, i], axis=1)
-        new_s, sel = jax.lax.top_k(cat_s, k)
-        return (new_s, jnp.take_along_axis(cat_i, sel, axis=1)), None
 
-    init = chunk_topk(*(x[0] for x in chunked_inputs))
-    (top_s, top_i), _ = jax.lax.scan(
-        step, init, tuple(x[1:] for x in chunked_inputs)
-    )
-    return top_s, top_i
+def _stream_chunked_topk(chunk_topk, arrays_axes, n, chunk_size, k):
+    """Shared streaming driver for every chunked top-k op in this module.
+
+    ``arrays_axes`` is a sequence of ``(array, corpus_axis)`` pairs;
+    ``chunk_topk(*chunk_slices, offset) -> (top_s [rows, k], top_i
+    [rows, k])`` runs once per chunk and must accept ANY chunk length
+    (deriving it from its slice shapes, padding its output to k columns).
+    Full ``chunk_size`` chunks stream through one lax.scan with an exact
+    running top-k merge; a ragged TAIL chunk (n % chunk_size) runs as one
+    extra call and merges outside the scan -- so callers need NO
+    chunk-multiple corpus padding (a 600K-doc corpus on a 4-shard mesh
+    previously padded to 1M rows, ~75% wasted HBM and scan work).  The scan
+    carry initializes from chunk 0 (not a -inf constant) so its
+    varying-mesh-axes match the body output when running inside shard_map.
+    """
+    num_full, tail = divmod(n, chunk_size)
+
+    def cut(x, ax, start, stop):
+        idx = [slice(None)] * x.ndim
+        idx[ax] = slice(start, stop)
+        return x[tuple(idx)]
+
+    out = None
+    if num_full:
+        def to_chunks(x, ax):
+            head = cut(x, ax, 0, num_full * chunk_size)
+            shape = head.shape[:ax] + (num_full, chunk_size) + head.shape[ax + 1:]
+            return jnp.moveaxis(head.reshape(shape), ax, 0)
+
+        chunked = tuple(to_chunks(x, ax) for x, ax in arrays_axes)
+        offsets = jnp.arange(num_full, dtype=jnp.int32) * chunk_size
+
+        def step(carry, inp):
+            return _merge_topk(carry, chunk_topk(*inp), k), None
+
+        init = chunk_topk(*(x[0] for x in chunked), offsets[0])
+        out, _ = jax.lax.scan(
+            step, init, tuple(x[1:] for x in chunked) + (offsets[1:],)
+        )
+    if tail:
+        tail_out = chunk_topk(
+            *(cut(x, ax, num_full * chunk_size, n) for x, ax in arrays_axes),
+            jnp.int32(num_full * chunk_size),
+        )
+        out = tail_out if out is None else _merge_topk(out, tail_out, k)
+    return out
 
 
 def _pad_topk(top_s, top_i, k):
@@ -194,7 +225,7 @@ def _approx_topk_rows(
 @partial(jax.jit, static_argnames=("k", "chunk_size", "recall_target"))
 def dense_topk_chunked_approx(
     qflat: jax.Array,  # [B, F*E] folded queries
-    docs_flat: jax.Array,  # [N, F*E], N padded to a multiple of chunk_size
+    docs_flat: jax.Array,  # [N, F*E] (no chunk-multiple padding needed)
     valid_n: jax.Array,  # scalar: number of real (non-padding) rows
     k: int,
     chunk_size: int = 524288,
@@ -216,26 +247,23 @@ def dense_topk_chunked_approx(
     n = docs_flat.shape[0]
     if n <= chunk_size:
         return dense_topk_approx(qflat, docs_flat, valid_n, k, recall_target)
-    assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
     assert k <= chunk_size, "top-k carry must fit in one chunk"
-    num_chunks = n // chunk_size
-    docs3 = docs_flat.reshape(num_chunks, chunk_size, -1)
-    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
 
     def chunk_topk(chunk_docs, offset):
+        c = chunk_docs.shape[0]
         s = jnp.dot(qflat, chunk_docs.T, preferred_element_type=jnp.float32)
-        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         bias = jnp.where(idx < valid_n, 0.0, -jnp.inf)  # [1, chunk] mask row
-        top_s, sel = _approx_topk_rows(s, k, recall_target, bias=bias)
-        return top_s, offset + sel
+        top_s, sel = _approx_topk_rows(s, min(k, c), recall_target, bias=bias)
+        return _pad_topk(top_s, offset + sel, k)
 
-    return _scan_chunked_topk(chunk_topk, (docs3, offsets), k)
+    return _stream_chunked_topk(chunk_topk, ((docs_flat, 0),), n, chunk_size, k)
 
 
 @partial(jax.jit, static_argnames=("num_fields", "k", "chunk_size", "recall_target"))
 def per_field_topk_chunked_approx(
     q: jax.Array,  # [B, E] query embeddings (NOT folded)
-    docs_flat: jax.Array,  # [N, F*E], N padded to a multiple of chunk_size
+    docs_flat: jax.Array,  # [N, F*E] (no chunk-multiple padding needed)
     valid_n: jax.Array,  # scalar: number of real (non-padding) rows
     num_fields: int,
     k: int,
@@ -271,12 +299,10 @@ def per_field_topk_chunked_approx(
     if n <= chunk_size:
         top_s, top_i = chunk_topk(docs_flat, jnp.int32(0))
     else:
-        assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
         assert k <= chunk_size, "top-k carry must fit in one chunk"
-        num_chunks = n // chunk_size
-        docs3 = docs_flat.reshape(num_chunks, chunk_size, -1)
-        offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
-        top_s, top_i = _scan_chunked_topk(chunk_topk, (docs3, offsets), k)
+        top_s, top_i = _stream_chunked_topk(
+            chunk_topk, ((docs_flat, 0),), n, chunk_size, k
+        )
     # [F*B, k] -> [B, F, k]
     return (
         top_s.reshape(f, b, -1).transpose(1, 0, 2),
@@ -287,7 +313,7 @@ def per_field_topk_chunked_approx(
 @partial(jax.jit, static_argnames=("k", "chunk_size"))
 def hybrid_topk_chunked(
     qflat: jax.Array,  # [B, F*E] folded queries (dense fields)
-    docs_flat: jax.Array,  # [N, F*E], N padded to a multiple of chunk_size
+    docs_flat: jax.Array,  # [N, F*E] (no chunk-multiple padding needed)
     sparse_comb: jax.Array,  # [B, N] combined (weight-mixed) sparse scores
     valid_n: jax.Array,  # scalar: number of real (non-padding) rows
     k: int,
@@ -303,7 +329,6 @@ def hybrid_topk_chunked(
     and each scan step adds the matching chunk to the dense fused matmul
     before an exact top-k -- so hybrid retrieval is exact, not recalled."""
     n = docs_flat.shape[0]
-    b = qflat.shape[0]
     if n <= chunk_size:
         s = jnp.dot(qflat, docs_flat.T, preferred_element_type=jnp.float32)
         s = s + sparse_comb.astype(jnp.float32)
@@ -312,22 +337,20 @@ def hybrid_topk_chunked(
         top_s, top_i = jax.lax.top_k(s, min(k, n))
         return _pad_topk(top_s, top_i, k)
 
-    assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
     assert k <= chunk_size, "top-k carry must fit in one chunk"
-    num_chunks = n // chunk_size
-    docs3 = docs_flat.reshape(num_chunks, chunk_size, -1)
-    sparse3 = sparse_comb.reshape(b, num_chunks, chunk_size).transpose(1, 0, 2)
-    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
 
     def chunk_topk(chunk_docs, chunk_sparse, offset):
+        c = chunk_docs.shape[0]
         s = jnp.dot(qflat, chunk_docs.T, preferred_element_type=jnp.float32)
         s = s + chunk_sparse.astype(jnp.float32)
-        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         s = jnp.where(idx < valid_n, s, -jnp.inf)
-        top_s, sel = jax.lax.top_k(s, k)
-        return top_s, offset + sel
+        top_s, sel = jax.lax.top_k(s, min(k, c))
+        return _pad_topk(top_s, offset + sel, k)
 
-    return _scan_chunked_topk(chunk_topk, (docs3, sparse3, offsets), k)
+    return _stream_chunked_topk(
+        chunk_topk, ((docs_flat, 0), (sparse_comb, 1)), n, chunk_size, k
+    )
 
 
 def quantize_rows_int8(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -387,22 +410,20 @@ def dense_topk_chunked_approx_int8(
         s = s + jnp.where(idx < valid_n, 0.0, -jnp.inf)
         top_s, sel = select(s, min(k, n))
         return _pad_topk(top_s, sel, k)
-    assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
     assert k <= chunk_size, "top-k carry must fit in one chunk"
-    num_chunks = n // chunk_size
-    docs3 = docs_q.reshape(num_chunks, chunk_size, -1)
-    scales3 = doc_scales.reshape(num_chunks, chunk_size)
-    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
 
     def chunk_topk(chunk_docs, chunk_scales, offset):
+        c = chunk_docs.shape[0]
         s = jnp.dot(q8, chunk_docs.T, preferred_element_type=jnp.int32).astype(jnp.float32)
         s = s * q_scale[:, None] * chunk_scales[None, :]
-        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         s = s + jnp.where(idx < valid_n, 0.0, -jnp.inf)
-        top_s, sel = select(s, k)
-        return top_s, offset + sel
+        top_s, sel = select(s, min(k, c))
+        return _pad_topk(top_s, offset + sel, k)
 
-    return _scan_chunked_topk(chunk_topk, (docs3, scales3, offsets), k)
+    return _stream_chunked_topk(
+        chunk_topk, ((docs_q, 0), (doc_scales, 0)), n, chunk_size, k
+    )
 
 
 @partial(jax.jit, static_argnames=("k", "chunk_size"))
@@ -421,7 +442,6 @@ def hybrid_topk_chunked_int8(
     error (sparse scores stay f32)."""
     q8, q_scale = quantize_rows_int8(qflat)
     n = docs_q.shape[0]
-    b = qflat.shape[0]
 
     def dense_scores(chunk_docs, chunk_scales):
         s = jnp.dot(q8, chunk_docs.T, preferred_element_type=jnp.int32).astype(jnp.float32)
@@ -433,22 +453,20 @@ def hybrid_topk_chunked_int8(
         s = jnp.where(idx < valid_n, s, -jnp.inf)
         top_s, top_i = jax.lax.top_k(s, min(k, n))
         return _pad_topk(top_s, top_i, k)
-    assert n % chunk_size == 0, "caller pads the corpus to a chunk multiple"
     assert k <= chunk_size, "top-k carry must fit in one chunk"
-    num_chunks = n // chunk_size
-    docs3 = docs_q.reshape(num_chunks, chunk_size, -1)
-    scales3 = doc_scales.reshape(num_chunks, chunk_size)
-    sparse3 = sparse_comb.reshape(b, num_chunks, chunk_size).transpose(1, 0, 2)
-    offsets = jnp.arange(num_chunks, dtype=jnp.int32) * chunk_size
 
     def chunk_topk(chunk_docs, chunk_scales, chunk_sparse, offset):
+        c = chunk_docs.shape[0]
         s = dense_scores(chunk_docs, chunk_scales) + chunk_sparse.astype(jnp.float32)
-        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, chunk_size), 1)
+        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         s = jnp.where(idx < valid_n, s, -jnp.inf)
-        top_s, sel = jax.lax.top_k(s, k)
-        return top_s, offset + sel
+        top_s, sel = jax.lax.top_k(s, min(k, c))
+        return _pad_topk(top_s, offset + sel, k)
 
-    return _scan_chunked_topk(chunk_topk, (docs3, scales3, sparse3, offsets), k)
+    return _stream_chunked_topk(
+        chunk_topk, ((docs_q, 0), (doc_scales, 0), (sparse_comb, 1)),
+        n, chunk_size, k,
+    )
 
 
 def dense_topk_chunked_int8(qflat, docs_q, doc_scales, valid_n, k, chunk_size=131072):

