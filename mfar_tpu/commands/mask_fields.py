@@ -70,12 +70,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--retrieval-mode", default="auto", choices=["auto", "exact", "rerank"])
     p.add_argument("--mesh", default="auto", choices=["auto", "off"],
                    help="auto: shard eval over all visible chips; off: single chip")
+    p.add_argument("--multihost", default="auto", choices=["auto", "off", "force", "pod"],
+                   help="multi-process runtime (jax.distributed); see train --multihost")
     p.add_argument("--debug", action="store_true", help="baseline only, skip the ablation sweep")
     return p
 
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(normalize_argv(argv))
+    from mfar_tpu.parallel import multihost
+
+    if multihost.maybe_initialize(args.multihost):
+        print(f"[mask_fields] multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}")
     resolve_data_dirs(args)
     os.makedirs(args.out, exist_ok=True)
 

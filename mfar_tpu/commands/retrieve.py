@@ -70,11 +70,18 @@ def main(argv=None) -> None:
     p.add_argument("--n-replica", type=int, default=1,
                    help="cross-slice axis size (required for --corpus-per-slice "
                         "query-batch sharding to engage)")
+    p.add_argument("--multihost", default="auto", choices=["auto", "off", "force", "pod"],
+                   help="multi-process runtime (jax.distributed); see train --multihost")
     p.add_argument("--corpus-per-slice", action="store_true",
                    help="replicate the corpus per slice (shard only within a "
                         "slice over ICI); higher QPS when it fits one slice, "
                         "vs the default cross-slice sharding for capacity")
     args = p.parse_args(normalize_argv(argv))
+    from mfar_tpu.parallel import multihost
+
+    if multihost.maybe_initialize(args.multihost):
+        print(f"[retrieve] multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}")
     resolve_data_dirs(args)
 
     field_info = resolve_fields(args.field_names, args.dataset_name)
@@ -156,14 +163,16 @@ def main(argv=None) -> None:
     )
     qres = engine.to_qres(qids, results)
     dt = time.perf_counter() - t0
-    trec.write_qres(args.out, qres)
-    print(f"{len(qids)} queries in {dt:.2f}s ({len(qids)/dt:.1f} q/s) -> {args.out}")
+    if multihost.is_primary():  # process 0 owns file I/O under multihost
+        trec.write_qres(args.out, qres)
+        print(f"{len(qids)} queries in {dt:.2f}s ({len(qids)/dt:.1f} q/s) -> {args.out}")
 
-    qrels_path = os.path.join(args.queries, f"{args.partition}.qrels")
-    if os.path.exists(qrels_path):
-        metrics = trec.call_trec_eval_and_get_metrics(qrels_path, args.out)
-        keys = ["success_1", "recall_10", "recall_100", "ndcg_cut_10", "recip_rank", "map"]
-        print(json.dumps({k: round(metrics.get(k, 0.0), 4) for k in keys}))
+        qrels_path = os.path.join(args.queries, f"{args.partition}.qrels")
+        if os.path.exists(qrels_path):
+            metrics = trec.call_trec_eval_and_get_metrics(qrels_path, args.out)
+            keys = ["success_1", "recall_10", "recall_100", "ndcg_cut_10", "recip_rank", "map"]
+            print(json.dumps({k: round(metrics.get(k, 0.0), 4) for k in keys}))
+    multihost.sync("retrieve-done")
 
 
 if __name__ == "__main__":

@@ -128,6 +128,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tensor-parallel mesh axis size (shards encoder params)")
     p.add_argument("--n-replica", type=int, default=1,
                    help="cross-slice (DCN) data-parallel axis size")
+    p.add_argument("--multihost", default="auto",
+                   choices=["auto", "off", "force", "pod"],
+                   help="multi-process runtime (jax.distributed): auto engages "
+                        "on the coordinator env triple (MFAR_COORDINATOR + "
+                        "MFAR_NUM_PROCESSES + MFAR_PROCESS_ID); off never; "
+                        "force requires that env; pod self-configures on "
+                        "cloud-TPU pod slices")
     p.add_argument("--prefetch-depth", type=int, default=2,
                    help="train batches prepared ahead on the host thread "
                         "(epoch RAM is O(depth); values < 1 are clamped to 1)")
@@ -141,6 +148,15 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(normalize_argv(argv))
+    # Before anything queries devices: a multi-process run must wire the
+    # global mesh first (the reference's Lightning-DDP-spawns-processes
+    # posture, reference mfar/commands/train.py:246-250).
+    from mfar_tpu.parallel import multihost
+
+    if multihost.maybe_initialize(args.multihost):
+        print(f"[train] multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
     try:  # before any PRNG key exists; no-op if something already made one
         jax.config.update("jax_default_prng_impl", args.prng)
     except Exception as e:
@@ -322,16 +338,31 @@ def main(argv=None) -> None:
     )
 
     start_epoch = 0
-    if args.resume and trainer.ckpt.latest_step() is not None:
-        latest = trainer.ckpt.latest_step()
-        saved_impl = trainer.ckpt.restore_meta(latest).get("prng_impl")
-        if saved_impl and saved_impl != args.prng:
-            raise SystemExit(
-                f"checkpoint {latest} was trained with --prng {saved_impl}; "
-                f"resuming with --prng {args.prng} would misread the saved "
-                f"rng key -- pass --prng {saved_impl}"
+    latest = trainer.ckpt_step_broadcast("latest") if args.resume else None
+    if latest is not None:
+        # meta.json lives on process 0's disk; the verdict must be agreed by
+        # every process (a process-0-only SystemExit would deadlock the rest
+        # inside the restore broadcast).
+        bad_impl = ""
+        if multihost.is_primary():
+            saved_impl = trainer.ckpt.restore_meta(latest).get("prng_impl")
+            if saved_impl and saved_impl != args.prng:
+                bad_impl = saved_impl
+        if multihost.is_multiprocess():
+            from jax.experimental import multihost_utils
+            import numpy as _np
+
+            flags = multihost_utils.broadcast_one_to_all(
+                _np.frombuffer(bad_impl.ljust(16)[:16].encode(), dtype=_np.uint8)
             )
-        state = trainer.ckpt.restore(latest, state)
+            bad_impl = bytes(flags).decode().strip()
+        if bad_impl:
+            raise SystemExit(
+                f"checkpoint {latest} was trained with --prng {bad_impl}; "
+                f"resuming with --prng {args.prng} would misread the saved "
+                f"rng key -- pass --prng {bad_impl}"
+            )
+        state = trainer.restore_broadcast(latest, state)
         start_epoch = latest + 1
         print(f"Resumed from checkpoint {latest} (epoch {start_epoch})")
 
@@ -343,11 +374,12 @@ def main(argv=None) -> None:
 
     # Reload best checkpoint for the final test (reference:
     # mfar/commands/train.py:260 trainer.test(ckpt='best')).
-    best = trainer.ckpt.best_step()
+    best = trainer.ckpt_step_broadcast("best")
     if best is not None:
-        state = trainer.ckpt.restore(best, state)
+        state = trainer.restore_broadcast(best, state)
     trainer.test(state)
-    trainer.ckpt.write_best_txt()
+    if multihost.is_primary():
+        trainer.ckpt.write_best_txt()
     print(f"[timing] {trainer.timer.report()}")
 
 

@@ -53,7 +53,18 @@ def make_encode_fn(encoder, params, mesh=None) -> Callable:
     With a ``mesh``, encode batches shard over the batch axes so corpus
     encoding uses every chip (rows that don't divide the shard count fall
     back to replicated compute)."""
-    jit_encode = jax.jit(lambda p, ids, mask: encoder.apply({"params": p}, ids, mask))
+    # Multi-host: replicate the embedding output so every process can fetch
+    # it on host (encode_texts consumes with np.asarray); a batch-sharded
+    # output would have non-addressable shards.
+    out_shardings = None
+    if mesh is not None and jax.process_count() > 1:
+        from mfar_tpu.parallel import multihost
+
+        out_shardings = multihost.replicated_sharding(mesh)
+    jit_encode = jax.jit(
+        lambda p, ids, mask: encoder.apply({"params": p}, ids, mask),
+        out_shardings=out_shardings,
+    )
     jparams = jax.tree.map(jnp.asarray, params)
 
     if mesh is None:

@@ -127,10 +127,14 @@ class RetrievalEngine:
             )
             # Mixer params replicate onto the mesh once: they may arrive
             # committed elsewhere (host restore, or a trainer state placed on
-            # a different device subset), and eager ops can't mix device sets.
+            # a different device subset), and eager ops can't mix device
+            # sets.  Staged through host numpy so the same code serves a
+            # multi-host mesh (device_put of an identical host value onto a
+            # global sharding transfers each process's shards; a committed
+            # local device array cannot be re-put cross-process).
             rep = NamedSharding(mesh, P())
             self.mixer_params = jax.tree.map(
-                lambda x: jax.device_put(jnp.asarray(x), rep), mixer_params
+                lambda x: jax.device_put(np.asarray(x), rep), mixer_params
             )
 
         # ONE HBM-resident corpus copy, in the fused-matmul layout.  Stage-2
@@ -429,8 +433,18 @@ class RetrievalEngine:
                 sparse_comb = self._sparse_comb_device(cleaned, weights)
             elif self.mesh is not None and self.has_dense:
                 # mesh: ship postings, densify per shard (falls back to a
-                # host-built [B, N] when postings are denser than the corpus)
-                mesh_postings = self._sparse_postings_combined(cleaned, weights)
+                # host-built [B, N] when postings are denser than the corpus).
+                # Multi-host: the postings path keeps device-committed local
+                # impact tensors that cannot be re-put onto the global mesh;
+                # route through the host-combined [B, N] path instead (every
+                # process builds the identical tensor; device_put then moves
+                # only its own shards).
+                from mfar_tpu.parallel import multihost
+
+                mesh_postings = (
+                    None if multihost.is_multiprocess()
+                    else self._sparse_postings_combined(cleaned, weights)
+                )
                 if mesh_postings is None:
                     sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
                 else:

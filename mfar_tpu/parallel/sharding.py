@@ -94,5 +94,15 @@ def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
-    """Place parameters on the mesh per the rules."""
+    """Place parameters on the mesh per the rules.
+
+    Multi-host: leaves arrive committed to local devices (jit-created init
+    state, host-restored checkpoints); a committed local array cannot be
+    re-put onto a sharding spanning other processes, so stage through host
+    numpy -- every process holds identical values, and device_put of an
+    identical host array transfers only the local shards."""
+    if jax.process_count() > 1:
+        import numpy as np
+
+        params = jax.tree.map(np.asarray, params)
     return jax.tree.map(jax.device_put, params, param_shardings(mesh, params))

@@ -21,7 +21,7 @@ from typing import Optional, Tuple, Union
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from mfar_tpu.ops.scoring import (
     _pad_topk,
@@ -96,7 +96,10 @@ def distributed_dense_topk(
 
     kk = min(k, cand_s.shape[1])
 
-    @jax.jit
+    # Replicated out-sharding: every process must be able to fetch the tiny
+    # [B, k] result under a multi-host mesh (a non-addressable-shard
+    # device_get raises); single-process this is a no-op-sized all-gather.
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     def _merge(cs, ci):
         top_s, sel = jax.lax.top_k(cs, kk)
         return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
@@ -148,7 +151,10 @@ def distributed_hybrid_topk(
     cand_s, cand_i = _local_topk(qflat, docs_flat, sparse_comb)
     kk = min(k, cand_s.shape[1])
 
-    @jax.jit
+    # Replicated out-sharding: every process must be able to fetch the tiny
+    # [B, k] result under a multi-host mesh (a non-addressable-shard
+    # device_get raises); single-process this is a no-op-sized all-gather.
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     def _merge(cs, ci):
         top_s, sel = jax.lax.top_k(cs, kk)
         return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
@@ -209,7 +215,10 @@ def distributed_hybrid_topk_postings(
     cand_s, cand_i = _local_topk(qflat, docs_flat, post_ids, post_vals)
     kk = min(k, cand_s.shape[1])
 
-    @jax.jit
+    # Replicated out-sharding: every process must be able to fetch the tiny
+    # [B, k] result under a multi-host mesh (a non-addressable-shard
+    # device_get raises); single-process this is a no-op-sized all-gather.
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     def _merge(cs, ci):
         top_s, sel = jax.lax.top_k(cs, kk)
         return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
@@ -259,7 +268,7 @@ def distributed_per_field_topk(
     cand_s, cand_i = _local_topk(q, docs_flat)
     kk = min(k, cand_s.shape[-1])
 
-    @jax.jit
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     def _merge(cs, ci):
         top_s, sel = jax.lax.top_k(cs, kk)
         top_i = jnp.take_along_axis(ci, sel, axis=-1)

@@ -35,13 +35,33 @@ class CheckpointManager:
         self.out_dir = os.path.abspath(out_dir)
         os.makedirs(self.out_dir, exist_ok=True)
         self.monitor = monitor
+        # Multi-host: checkpoint I/O belongs to process 0 alone; the trainer
+        # gates save/restore calls and broadcasts restored state + step
+        # choices.  Non-primary processes get a stub (orbax cannot even
+        # construct a manager scoped to a process set it isn't in), and
+        # process 0's manager is declared active_processes={0} so orbax
+        # skips its global save barriers (which would otherwise expect every
+        # process to participate and deadlock against process-0-only calls).
+        self._manager = None
+        if jax.process_index() != 0:
+            return
+        mp_kwargs = {"create": True}
+        if jax.process_count() > 1:
+            mp_kwargs = {
+                # orbax refuses create=True with active_processes set.
+                "create": False,
+                "multiprocessing_options": ocp.options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0},
+                ),
+            }
+            os.makedirs(os.path.join(self.out_dir, "checkpoints"), exist_ok=True)
         self._manager = ocp.CheckpointManager(
             os.path.join(self.out_dir, "checkpoints"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
                 best_fn=lambda metrics: metrics.get(monitor, float("inf")),
                 best_mode=mode,
-                create=True,
+                **mp_kwargs,
             ),
         )
 
@@ -55,6 +75,10 @@ class CheckpointManager:
         field_info: Optional[Dict[str, Field]] = None,
         config: Optional[Dict[str, Any]] = None,
     ) -> None:
+        assert self._manager is not None, (
+            "checkpoint save called on a non-primary process (multihost "
+            "file I/O belongs to process 0; see Trainer)"
+        )
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -87,10 +111,10 @@ class CheckpointManager:
         return os.path.join(self.out_dir, "checkpoints", str(step))
 
     def best_step(self) -> Optional[int]:
-        return self._manager.best_step()
+        return None if self._manager is None else self._manager.best_step()
 
     def latest_step(self) -> Optional[int]:
-        return self._manager.latest_step()
+        return None if self._manager is None else self._manager.latest_step()
 
     def write_best_txt(self) -> None:
         """Persist the best checkpoint path, the reference's handoff file to
@@ -103,6 +127,10 @@ class CheckpointManager:
     # ------------------------------------------------------------------
 
     def restore(self, step: Optional[int], template_state: TrainState) -> TrainState:
+        assert self._manager is not None, (
+            "checkpoint restore called on a non-primary process (use "
+            "Trainer.restore_broadcast under multihost)"
+        )
         step = step if step is not None else self.latest_step()
         assert step is not None, "no checkpoint to restore"
         # rng keys persist as raw data whose shape depends on the PRNG impl
@@ -142,7 +170,8 @@ class CheckpointManager:
             return json.load(f)
 
     def close(self) -> None:
-        self._manager.close()
+        if self._manager is not None:
+            self._manager.close()
 
 
 def check_field_compatibility(step_dir: str, field_info: Dict[str, Field]) -> None:

@@ -39,6 +39,7 @@ import jax
 
 from mfar_tpu.data import trec
 from mfar_tpu.data.schema import sparse_keys
+from mfar_tpu.parallel import multihost
 from mfar_tpu.data.types import Corpus, Field
 from mfar_tpu.eval.index_build import build_dense_corpus_matrix
 from mfar_tpu.eval.retrieval import RetrievalEngine
@@ -147,12 +148,19 @@ class Trainer:
             return state
         from mfar_tpu.parallel.sharding import shard_params
 
+        step, rng = state.step, state.rng
+        if multihost.is_multiprocess():
+            # step/rng are committed local scalars; the jitted step needs
+            # every argument on the global mesh.
+            rep = multihost.replicated_sharding(self.mesh)
+            step = jax.device_put(np.asarray(step), rep)
+            rng = jax.device_put(np.asarray(rng), rep)
         return TrainState(
             params=shard_params(self.mesh, state.params),
             batch_stats=shard_params(self.mesh, state.batch_stats),
             opt_state=shard_params(self.mesh, state.opt_state),
-            step=state.step,
-            rng=state.rng,
+            step=step,
+            rng=rng,
         )
 
     def _place_batch(self, batch):
@@ -160,13 +168,22 @@ class Trainer:
         B*Nn, both multiples of the shard count)."""
         if self._batch_sharding is None:
             return batch
-        return jax.tree.map(
-            lambda x: jax.device_put(x, self._batch_sharding)
-            if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1
-            and x.shape[0] % self._n_dp == 0
-            else x,
-            batch,
+        rep = (
+            multihost.replicated_sharding(self.mesh)
+            if multihost.is_multiprocess() else None
         )
+
+        def place(x):
+            if not (hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1):
+                return x
+            if x.shape[0] % self._n_dp == 0:
+                return jax.device_put(x, self._batch_sharding)
+            # Ragged leaves fall through replicated.  Multi-host: they must
+            # still land on the GLOBAL mesh (a host array arg would commit
+            # locally and clash with the global state in the jitted step).
+            return x if rep is None else jax.device_put(x, rep)
+
+        return jax.tree.map(place, batch)
 
     # ------------------------------------------------------------------
 
@@ -176,10 +193,17 @@ class Trainer:
         # and (b) embed the full weights in the compile payload, which
         # overflows remote-compile transports at contriever scale.
         if self._jit_encode is None:
+            # Multi-host: replicate the embedding output so every process
+            # can fetch it (index build / query encode consume on host).
+            out_shardings = (
+                multihost.replicated_sharding(self.mesh)
+                if multihost.is_multiprocess() else None
+            )
             self._jit_encode = jax.jit(
                 lambda p, ids, mask: self.model.apply(
                     {"params": p}, ids, mask, method=self.model.encode
-                )
+                ),
+                out_shardings=out_shardings,
             )
         params = state.params
 
@@ -300,7 +324,18 @@ class Trainer:
             )
         qres = engine.to_qres(qids, results)
         qres_path = os.path.join(self.cfg.out_dir, f"{tag}.qres")
-        trec.write_qres(qres_path, qres)
+        if multihost.is_primary():
+            trec.write_qres(qres_path, qres)
+        if multihost.is_multiprocess():
+            # Every process scores the (identical, in-memory) run with the
+            # internal metrics engine so early-stop / best-checkpoint
+            # decisions cannot diverge across hosts; process 0 wrote the
+            # qres artifact above.  (The trec_eval binary path reads files
+            # that only exist on host 0.)
+            from mfar_tpu.eval import metrics as _metrics
+
+            with self.timer.phase("trec_eval"):
+                return _metrics.evaluate(trec.QRels.from_file(qrels_path), qres)
         with self.timer.phase("trec_eval"):
             return trec.call_trec_eval_and_get_metrics(qrels_path, qres_path)
 
@@ -315,6 +350,14 @@ class Trainer:
             assert cfg.train_batch_size % self._n_dp == 0, (
                 f"train_batch_size {cfg.train_batch_size} must divide over "
                 f"the {self._n_dp} batch shards of mesh {dict(self.mesh.shape)}"
+            )
+        if multihost.is_multiprocess():
+            from mfar_tpu.parallel.mesh import MODEL_AXIS
+
+            assert self.mesh is not None, "multihost training requires a mesh"
+            assert self.mesh.shape.get(MODEL_AXIS, 1) == 1, (
+                "multihost training supports n_model == 1 this round "
+                "(process-0 checkpointing needs fully replicated params)"
             )
         state = self.place_state(state)
         best_monitor = float("inf")
@@ -333,16 +376,26 @@ class Trainer:
                     self.best_score = score
                 metrics["best_ndcg_cut_10"] = self.best_score
 
-            self.logger.log(metrics, step=int(state.step))
-            print(
-                f"[epoch {epoch}] train_loss={train_loss:.4f} valid_loss={valid_loss:.4f}"
-                + (f" dev_ndcg@10={metrics.get('dev_ndcg_cut_10', float('nan')):.4f}"
-                   if "dev_ndcg_cut_10" in metrics else "")
-            )
-            self.ckpt.save(
-                epoch, state, metrics, field_info=self.field_info,
-                config=dataclasses.asdict(cfg),
-            )
+            if multihost.is_primary():
+                self.logger.log(metrics, step=int(state.step))
+                print(
+                    f"[epoch {epoch}] train_loss={train_loss:.4f} valid_loss={valid_loss:.4f}"
+                    + (f" dev_ndcg@10={metrics.get('dev_ndcg_cut_10', float('nan')):.4f}"
+                       if "dev_ndcg_cut_10" in metrics else "")
+                )
+                # Process 0 owns checkpoint I/O.  Under multihost the state
+                # is fully replicated (fit() asserts n_model == 1), so its
+                # local shards are the complete state; convert to host
+                # arrays first -- orbax would otherwise try to coordinate a
+                # global save across processes that aren't calling it.
+                save_state = state
+                if multihost.is_multiprocess():
+                    save_state = jax.tree.map(np.asarray, state)
+                self.ckpt.save(
+                    epoch, save_state, metrics, field_info=self.field_info,
+                    config=dataclasses.asdict(cfg),
+                )
+            multihost.sync("epoch-io")
 
             monitored = metrics.get(cfg.monitor, valid_loss)
             if monitored < best_monitor - 1e-12:
@@ -356,6 +409,46 @@ class Trainer:
             if cfg.run_one_iteration:
                 break
         return state
+
+    # ------------------------------------------------------------------
+
+    def ckpt_step_broadcast(self, which: str = "best") -> Optional[int]:
+        """best/latest checkpoint step, known to process 0's filesystem and
+        broadcast so every process agrees (multihost: only process 0 writes
+        checkpoints)."""
+        if not multihost.is_multiprocess():
+            return self.ckpt.best_step() if which == "best" else self.ckpt.latest_step()
+        from jax.experimental import multihost_utils
+
+        step = None
+        if multihost.is_primary():
+            step = self.ckpt.best_step() if which == "best" else self.ckpt.latest_step()
+        step = int(multihost_utils.broadcast_one_to_all(
+            np.int64(-1 if step is None else step)
+        ))
+        return None if step < 0 else step
+
+    def restore_broadcast(self, step: int, state: TrainState) -> TrainState:
+        """Restore a checkpoint for every process: process 0 reads from disk
+        and broadcasts host values; all processes re-place onto the mesh.
+        Plain restore single-process."""
+        if not multihost.is_multiprocess():
+            return self.ckpt.restore(step, state)
+        from jax.experimental import multihost_utils
+
+        host = jax.tree.map(np.asarray, state)
+        if multihost.is_primary():
+            host = jax.tree.map(np.asarray, self.ckpt.restore(step, host))
+        host = multihost_utils.broadcast_one_to_all(host)
+        return self.place_state(
+            TrainState(
+                params=host.params,
+                batch_stats=host.batch_stats,
+                opt_state=host.opt_state,
+                step=host.step,
+                rng=host.rng,
+            )
+        )
 
     # ------------------------------------------------------------------
 
@@ -387,12 +480,13 @@ class Trainer:
             record = {k: f"{metrics.get(k, 0.0):.3f}" for k in RESULT_KEYS}
             record["masked_fields"] = self.masked_fields_string
             record["additional"] = "test" if tag == "additional" else "val"
-            if verbose:
+            if verbose and multihost.is_primary():
                 print("\t".join(RESULT_KEYS))
                 print("\t".join(record[k] for k in RESULT_KEYS))
                 print(json.dumps(record))
-            with open(os.path.join(self.cfg.out_dir, "results_dicts.jsonl"), "a") as f:
-                f.write(json.dumps(record) + "\n")
+            if multihost.is_primary():
+                with open(os.path.join(self.cfg.out_dir, "results_dicts.jsonl"), "a") as f:
+                    f.write(json.dumps(record) + "\n")
             self.logger.log(
                 {f"{'additional' if tag == 'additional' else 'best'}_{k}": v
                  for k, v in metrics.items() if k in PROG_METRICS},

@@ -25,6 +25,15 @@ class MetricsLogger:
         #                                    mfar/commands/train.py:74-80)
         wandb_dir: Optional[str] = None,  # wandb local artifact dir
     ):
+        # Multi-host: only process 0 writes (file handle, wandb/mlflow run);
+        # other processes keep a no-op logger so call sites stay identical.
+        import jax
+
+        self.enabled = jax.process_index() == 0
+        if not self.enabled:
+            self._f = None
+            self.backend = None
+            return
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "metrics.jsonl")
         self._f = open(self.path, "a")
@@ -68,12 +77,15 @@ class MetricsLogger:
                 mod.log_metrics(record, step=step)
 
     def _write(self, record: Dict[str, Any]) -> None:
+        if self._f is None:
+            return
         record["time"] = round(time.time(), 3)
         self._f.write(json.dumps(record) + "\n")
         self._f.flush()
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self.backend and self.backend[0] == "mlflow":
             self.backend[1].end_run()
 
