@@ -46,8 +46,8 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--normalize", action="store_true")
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
-                   help="int8 corpus quantization: half the HBM (2x docs/chip), "
-                        "~0.5%% per-side score precision trade")
+                   help="int8 corpus quantization: half the HBM (2x docs per "
+                        "chip or mesh), ~0.5%% per-side score precision trade")
     p.add_argument("--use-pallas-gather", action="store_true",
                    help="Pallas DMA rerank gather (faster stage-2; keeps a "
                         "second corpus copy in HBM -- see ops/pallas_kernels.py)")
@@ -118,9 +118,11 @@ def main(argv=None) -> None:
 
     from mfar_tpu.parallel.mesh import mesh_from_flag
 
-    # int8 / pallas-gather are single-chip knobs; they force --mesh off
+    # pallas-gather keeps a single-chip row-DMA corpus copy and forces
+    # --mesh off; int8 composes with the mesh (quantized corpus shards over
+    # the corpus axes: 2x docs per MESH).
     mesh = None
-    if not args.quantize and not args.use_pallas_gather:
+    if not args.use_pallas_gather:
         mesh = mesh_from_flag(args.mesh, "retrieve",
                               n_model=args.n_model, n_replica=args.n_replica)
 

@@ -108,9 +108,11 @@ class RetrievalEngine:
         self._corpus_axes = None
         self._query_axis = None
         if mesh is not None:
-            assert quantize is None and not use_pallas_gather, (
-                "mesh serving composes with the full-precision XLA path only "
-                "(int8 / pallas-gather are single-chip knobs this round)"
+            assert not use_pallas_gather, (
+                "pallas-gather keeps a second single-chip row-DMA corpus "
+                "copy and is not composed with the mesh (int8 IS: the "
+                "quantized corpus shards over the corpus axes -- 2x docs "
+                "per MESH)"
             )
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -182,8 +184,15 @@ class RetrievalEngine:
                 assert not use_pallas_gather, "pallas gather path is full-precision only"
                 # host-side quantization so the f32 corpus never transits HBM
                 dq, ds = quantize_rows_int8_np(flat)
-                self.docs_q = jnp.asarray(dq)
-                self.doc_scales = jnp.asarray(ds)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    row_sh = NamedSharding(mesh, P(self._corpus_axes))
+                    self.docs_q = jax.device_put(dq, row_sh)
+                    self.doc_scales = jax.device_put(ds, row_sh)
+                else:
+                    self.docs_q = jnp.asarray(dq)
+                    self.doc_scales = jnp.asarray(ds)
             elif quantize:
                 raise ValueError(f"unknown quantize mode {quantize!r}")
             elif mesh is not None:
@@ -466,7 +475,16 @@ class RetrievalEngine:
 
         qflat = fold_queries(q, weights[:, :fd])
         if sparse_comb is None:
-            if self.docs_q is not None:
+            if self.docs_q is not None and self.mesh is not None:
+                from mfar_tpu.parallel.topk import distributed_dense_topk_int8
+
+                top_s, top_i = distributed_dense_topk_int8(
+                    self.mesh, qflat.astype(jnp.float32), self.docs_q,
+                    self.doc_scales, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                    exact=True, axis=self._corpus_axes,
+                    query_axis=self._qaxis(qflat.shape[0]),
+                )
+            elif self.docs_q is not None:
                 # exact per-chunk top-k: the only deviation from f32
                 # retrieval is the quantization error itself
                 top_s, top_i = dense_topk_chunked_approx_int8(
@@ -487,7 +505,35 @@ class RetrievalEngine:
                     jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK,
                 )
         else:
-            if self.docs_q is not None:
+            if self.docs_q is not None and self.mesh is not None:
+                qa = self._qaxis(qflat.shape[0])
+                if mesh_postings is not None:
+                    from mfar_tpu.parallel.topk import (
+                        distributed_hybrid_topk_postings_int8,
+                    )
+
+                    ids, vals = mesh_postings
+                    top_s, top_i = distributed_hybrid_topk_postings_int8(
+                        self.mesh, qflat.astype(jnp.float32), self.docs_q,
+                        self.doc_scales, jnp.asarray(ids), jnp.asarray(vals),
+                        self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                        axis=self._corpus_axes, query_axis=qa,
+                    )
+                else:
+                    from jax.sharding import NamedSharding, PartitionSpec as P
+
+                    from mfar_tpu.parallel.topk import distributed_hybrid_topk_int8
+
+                    sparse_sharded = jax.device_put(
+                        sparse_comb, NamedSharding(self.mesh, P(qa, self._corpus_axes))
+                    )
+                    top_s, top_i = distributed_hybrid_topk_int8(
+                        self.mesh, qflat.astype(jnp.float32), self.docs_q,
+                        self.doc_scales, sparse_sharded, self.n_docs, k=k,
+                        chunk_size=TOPK_CHUNK, axis=self._corpus_axes,
+                        query_axis=qa,
+                    )
+            elif self.docs_q is not None:
                 from mfar_tpu.ops.scoring import hybrid_topk_chunked_int8
 
                 top_s, top_i = hybrid_topk_chunked_int8(
@@ -542,7 +588,20 @@ class RetrievalEngine:
         if self.dense_keys and self.has_dense:
             fd = len(self.dense_keys)
             k = min(self.recall_k, self.n_docs)
-            if self.docs_q is not None:
+            if self.docs_q is not None and self.mesh is not None:
+                # mesh + int8: one-hot folded queries through the sharded
+                # int8 kernel (PartialReduce recall per shard)
+                from mfar_tpu.parallel.topk import distributed_dense_topk_int8
+
+                eye = jnp.eye(fd, dtype=q.dtype)
+                onehot_q = jnp.einsum("fg,be->bfge", eye, q).reshape(b * fd, fd * self.emb_dim)
+                s, idx = distributed_dense_topk_int8(
+                    self.mesh, onehot_q.astype(jnp.float32), self.docs_q,
+                    self.doc_scales, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                    exact=False, axis=self._corpus_axes,
+                    query_axis=self._qaxis(onehot_q.shape[0]),
+                )
+            elif self.docs_q is not None:
                 # int8 corpus: per-row scales make the per-field einsum form
                 # awkward; the one-hot query folding re-uses the int8 kernel
                 from mfar_tpu.ops.scoring import dense_topk_chunked_approx_int8 as _i8
@@ -599,7 +658,15 @@ class RetrievalEngine:
         if self.dense_keys and self.has_dense:
             fd = len(self.dense_keys)
             cand_j = jnp.asarray(cand)
-            if self.mesh is not None:
+            if self.mesh is not None and self.docs_q is not None:
+                from mfar_tpu.parallel.topk import distributed_candidate_scores_int8
+
+                dense_scores = distributed_candidate_scores_int8(
+                    self.mesh, q.astype(jnp.float32), self.docs_q,
+                    self.doc_scales, cand_j.astype(jnp.int32), num_fields=fd,
+                    axis=self._corpus_axes, query_axis=self._qaxis(q.shape[0]),
+                )
+            elif self.mesh is not None:
                 from mfar_tpu.parallel.topk import distributed_candidate_scores
 
                 dense_scores = distributed_candidate_scores(

@@ -329,3 +329,209 @@ def shard_info(mesh, n: int) -> Tuple[int, int]:
     n_shards = _axis_size(mesh, DATA_AXIS)
     assert n % n_shards == 0
     return n_shards, n // n_shards
+
+
+def distributed_dense_topk_int8(
+    mesh,
+    qflat: jax.Array,  # [B, F*E] folded queries (float; quantized per shard)
+    docs_q: jax.Array,  # [N, F*E] int8 corpus, sharded P(axis) on rows
+    doc_scales: jax.Array,  # [N] f32 per-row scales, sharded P(axis)
+    valid_n: int,
+    k: int,
+    chunk_size: int = 131072,
+    exact: bool = True,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
+    """int8 twin of :func:`distributed_dense_topk`: the quantized corpus
+    (half the HBM -> 2x docs per MESH) shards over the corpus axes; each
+    shard runs the int8 chunked top-k
+    (:func:`mfar_tpu.ops.scoring.dense_topk_chunked_approx_int8`) and the
+    [B, n_shards*k] candidates merge over ICI.  ``exact=True`` leaves the
+    per-shard quantization error as the only deviation from f32."""
+    from mfar_tpu.ops.scoring import dense_topk_chunked_approx_int8
+
+    n = docs_q.shape[0]
+    n_shards = _axis_size(mesh, axis)
+    shard_n = n // n_shards
+    local_k = min(k, shard_n)
+    chunk_size = max(min(chunk_size, shard_n), local_k)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(axis), P(axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q, docs, scales):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        loc_s, loc_i = dense_topk_chunked_approx_int8(
+            q, docs, scales, local_valid, k=local_k, chunk_size=chunk_size,
+            exact=exact,
+        )
+        return loc_s, loc_i + offset
+
+    (qflat,) = _replicate(mesh, qflat)
+    cand_s, cand_i = _local_topk(qflat, docs_q, doc_scales)
+    kk = min(k, cand_s.shape[1])
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _merge(cs, ci):
+        top_s, sel = jax.lax.top_k(cs, kk)
+        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+
+    return _merge(cand_s, cand_i)
+
+
+def distributed_hybrid_topk_postings_int8(
+    mesh,
+    qflat: jax.Array,  # [B, F*E] folded queries (float)
+    docs_q: jax.Array,  # [N, F*E] int8 corpus, sharded P(axis)
+    doc_scales: jax.Array,  # [N] f32 scales, sharded P(axis)
+    post_ids: jax.Array,  # [B, M] i32 global doc ids
+    post_vals: jax.Array,  # [B, M] f32 weight-premultiplied impacts
+    valid_n: int,
+    k: int,
+    chunk_size: int = 131072,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 twin of :func:`distributed_hybrid_topk_postings`: each shard
+    scatter-adds its postings slice and fuses it with the quantized dense
+    scan (exact per-chunk top-k; sparse scores stay f32)."""
+    from mfar_tpu.ops.scoring import hybrid_topk_chunked_int8
+
+    n = docs_q.shape[0]
+    n_shards = _axis_size(mesh, axis)
+    shard_n = n // n_shards
+    local_k = min(k, shard_n)
+    chunk_size = max(min(chunk_size, shard_n), local_k)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(axis), P(axis), P(query_axis), P(query_axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q, docs, scales, ids, vals):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        local = ids - offset
+        mine = (local >= 0) & (local < shard_n)
+        safe = jnp.where(mine, local, 0)
+        b = q.shape[0]
+        sparse = jnp.zeros((b, shard_n), jnp.float32)
+        sparse = sparse.at[jnp.arange(b)[:, None], safe].add(
+            jnp.where(mine, vals, 0.0)
+        )
+        loc_s, loc_i = hybrid_topk_chunked_int8(
+            q, docs, scales, sparse, local_valid, k=local_k,
+            chunk_size=chunk_size,
+        )
+        return loc_s, loc_i + offset
+
+    qflat, post_ids, post_vals = _replicate(mesh, qflat, post_ids, post_vals)
+    cand_s, cand_i = _local_topk(qflat, docs_q, doc_scales, post_ids, post_vals)
+    kk = min(k, cand_s.shape[1])
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _merge(cs, ci):
+        top_s, sel = jax.lax.top_k(cs, kk)
+        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+
+    return _merge(cand_s, cand_i)
+
+
+def distributed_hybrid_topk_int8(
+    mesh,
+    qflat: jax.Array,
+    docs_q: jax.Array,  # [N, F*E] int8, sharded P(axis)
+    doc_scales: jax.Array,  # [N], sharded P(axis)
+    sparse_comb: jax.Array,  # [B, N] combined sparse scores, P(query_axis, axis)
+    valid_n: int,
+    k: int,
+    chunk_size: int = 131072,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 twin of :func:`distributed_hybrid_topk` (host-combined [B, N]
+    sparse fallback path)."""
+    from mfar_tpu.ops.scoring import hybrid_topk_chunked_int8
+
+    n = docs_q.shape[0]
+    n_shards = _axis_size(mesh, axis)
+    shard_n = n // n_shards
+    local_k = min(k, shard_n)
+    chunk_size = max(min(chunk_size, shard_n), local_k)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(axis), P(axis), P(query_axis, axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q, docs, scales, sparse):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        loc_s, loc_i = hybrid_topk_chunked_int8(
+            q, docs, scales, sparse, local_valid, k=local_k,
+            chunk_size=chunk_size,
+        )
+        return loc_s, loc_i + offset
+
+    (qflat,) = _replicate(mesh, qflat)
+    cand_s, cand_i = _local_topk(qflat, docs_q, doc_scales, sparse_comb)
+    kk = min(k, cand_s.shape[1])
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _merge(cs, ci):
+        top_s, sel = jax.lax.top_k(cs, kk)
+        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+
+    return _merge(cand_s, cand_i)
+
+
+def distributed_candidate_scores_int8(
+    mesh,
+    q: jax.Array,  # [B, E] (replicated)
+    docs_q: jax.Array,  # [N, F*E] int8, sharded P(axis)
+    doc_scales: jax.Array,  # [N], sharded P(axis)
+    cand_ids: jax.Array,  # [B, C] global row ids (replicated)
+    num_fields: int,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> jax.Array:  # [B, C, F] per-field dense scores (dequantized)
+    """int8 twin of :func:`distributed_candidate_scores`: each shard
+    dequantizes only the candidate rows it owns before scoring."""
+    n = docs_q.shape[0]
+    n_shards = _axis_size(mesh, axis)
+    shard_n = n // n_shards
+    f = num_fields
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(axis), P(axis), P(query_axis)),
+        out_specs=P(query_axis),
+    )
+    def _run(q_, docs_, scales_, ids_):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(ids_.dtype)
+        local = ids_ - offset
+        mine = (local >= 0) & (local < shard_n)
+        safe = jnp.where(mine, local, 0)
+        rows = jnp.take(docs_, safe, axis=0).astype(jnp.float32)
+        rows = rows * jnp.take(scales_, safe, axis=0)[..., None]
+        d3 = rows.reshape(*rows.shape[:-1], f, rows.shape[-1] // f)
+        scores = jnp.einsum(
+            "be,bcfe->bcf", q_, d3, preferred_element_type=jnp.float32
+        )
+        scores = jnp.where(mine[..., None], scores, 0.0)
+        return jax.lax.psum(scores, axis)
+
+    q, cand_ids = _replicate(mesh, q, cand_ids)
+    return _run(q, docs_q, doc_scales, cand_ids)

@@ -260,3 +260,80 @@ def test_distributed_topk_ragged_shard_chunks(mesh, rng):
         np.asarray(top_s), np.take_along_axis(full, want_i, axis=1),
         rtol=2e-5, atol=1e-5,
     )
+
+
+def test_distributed_int8_matches_single_chip(mesh, rng):
+    """mesh + int8 (round 3): the sharded quantized ops reproduce the
+    single-chip int8 rankings EXACTLY -- dense exact, hybrid (dense-comb and
+    postings), and candidate rescoring."""
+    from mfar_tpu.ops.scoring import (
+        dense_topk_chunked_approx_int8,
+        hybrid_topk_chunked_int8,
+        quantize_rows_int8_np,
+    )
+    from mfar_tpu.parallel.topk import (
+        distributed_candidate_scores_int8,
+        distributed_dense_topk_int8,
+        distributed_hybrid_topk_int8,
+        distributed_hybrid_topk_postings_int8,
+    )
+
+    n, f, e, b, k = 64, 2, 16, 3, 5
+    q = rng.normal(size=(b, e)).astype(np.float32)
+    docs = rng.normal(size=(n, f, e)).astype(np.float32)
+    W = rng.normal(size=(e, f)).astype(np.float32)
+    weights = softmax_field_weights(jnp.asarray(W), jnp.asarray(q))
+    qflat = fold_queries(jnp.asarray(q), weights).astype(jnp.float32)
+    dq, ds = quantize_rows_int8_np(docs.reshape(n, f * e))
+    dq_sh = shard_array(mesh, dq, P(DATA_AXIS))
+    ds_sh = shard_array(mesh, ds, P(DATA_AXIS))
+
+    # dense exact
+    want_s, want_i = dense_topk_chunked_approx_int8(
+        qflat, jnp.asarray(dq), jnp.asarray(ds), jnp.int32(n), k=k,
+        chunk_size=16, exact=True,
+    )
+    got_s, got_i = distributed_dense_topk_int8(
+        mesh, qflat, dq_sh, ds_sh, n, k=k, chunk_size=16, exact=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s), rtol=1e-6)
+
+    # hybrid: dense-combined sparse tensor
+    sparse = rng.normal(size=(b, n)).astype(np.float32)
+    hw_s, hw_i = hybrid_topk_chunked_int8(
+        qflat, jnp.asarray(dq), jnp.asarray(ds), jnp.asarray(sparse),
+        jnp.int32(n), k=k, chunk_size=16,
+    )
+    sparse_sh = shard_array(mesh, sparse, P(None, DATA_AXIS))
+    hg_s, hg_i = distributed_hybrid_topk_int8(
+        mesh, qflat, dq_sh, ds_sh, sparse_sh, n, k=k, chunk_size=16,
+    )
+    np.testing.assert_array_equal(np.asarray(hg_i), np.asarray(hw_i))
+
+    # hybrid: postings (scatter-add equals the dense sparse tensor)
+    m = 8
+    ids = rng.integers(0, n, size=(b, m)).astype(np.int32)
+    vals = rng.normal(size=(b, m)).astype(np.float32)
+    dense_equiv = np.zeros((b, n), np.float32)
+    for i in range(b):
+        for j in range(m):
+            dense_equiv[i, ids[i, j]] += vals[i, j]
+    pw_s, pw_i = hybrid_topk_chunked_int8(
+        qflat, jnp.asarray(dq), jnp.asarray(ds), jnp.asarray(dense_equiv),
+        jnp.int32(n), k=k, chunk_size=16,
+    )
+    pg_s, pg_i = distributed_hybrid_topk_postings_int8(
+        mesh, qflat, dq_sh, ds_sh, jnp.asarray(ids), jnp.asarray(vals),
+        n, k=k, chunk_size=16,
+    )
+    np.testing.assert_array_equal(np.asarray(pg_i), np.asarray(pw_i))
+
+    # candidate rescoring: dequantized per-field scores
+    cand = rng.integers(0, n, size=(b, 4)).astype(np.int32)
+    got = distributed_candidate_scores_int8(
+        mesh, jnp.asarray(q), dq_sh, ds_sh, jnp.asarray(cand), num_fields=f,
+    )
+    deq = (dq.astype(np.float32) * ds[:, None]).reshape(n, f, e)
+    want = np.einsum("be,bcfe->bcf", q, deq[cand])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)

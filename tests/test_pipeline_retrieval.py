@@ -263,3 +263,48 @@ def test_quantized_engine_matches_full_precision(world, engine):
     for f_hits, q_hits in zip(full, quant):
         overlap = {k for k, _ in f_hits} & {k for k, _ in q_hits}
         assert len(overlap) >= 5
+
+
+def test_int8_mesh_engine_matches_single_chip_int8(world, engine):
+    """mesh + int8 (round 3): the quantized corpus shards over the mesh and
+    every serving mode (exact dense, exact hybrid, rerank) reproduces the
+    single-chip int8 rankings exactly -- '2x docs/chip' becomes '2x docs
+    per mesh'."""
+    from mfar_tpu.parallel.mesh import make_mesh
+
+    w = world
+    eng, matrix, mixer = engine
+    field_info = resolve_fields(
+        "title_dense,description_dense,title_sparse", "amazon"
+    )
+    sparse_indices = build_sparse_indices(w["corpus"], field_info)
+    mixer3 = {"weight": jnp.asarray(
+        np.random.default_rng(0).normal(size=(w["emb"], 3)).astype(np.float32)
+    )}
+    mesh = make_mesh(n_data=8, devices=jax.devices()[:8])
+
+    def build(mesh_arg):
+        return RetrievalEngine(
+            field_info=field_info,
+            doc_keys=list(w["corpus"].keys()),
+            encode_fn=w["encode_fn"],
+            tokenizer=w["tok"],
+            mixer_params=mixer3,
+            dense_matrix=matrix,
+            sparse_indices={"title_sparse": sparse_indices["title_sparse"]},
+            query_max_length=64,
+            quantize="int8",
+            mesh=mesh_arg,
+        )
+
+    single, meshed = build(None), build(mesh)
+    assert meshed.docs_q is not None and meshed.docs_flat is None
+    queries = list(w["queries"].values())[:5]
+    for mode in ("exact", "rerank"):
+        want = single.retrieve(queries, top_k=7, mode=mode)
+        got = meshed.retrieve(queries, top_k=7, mode=mode)
+        for wq, gq in zip(want, got):
+            assert [k for k, _ in wq] == [k for k, _ in gq], mode
+            np.testing.assert_allclose(
+                [s for _, s in wq], [s for _, s in gq], rtol=1e-5, atol=1e-5
+            )
