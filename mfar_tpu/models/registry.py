@@ -41,7 +41,7 @@ def prepare_model(
     retriever encoder and whose decoder comes from the matching
     ``google-t5/t5-{size}`` checkpoint.  See graft_t5_decoder.
     """
-    if "gtr-t5" in model_id or model_id.startswith("t5:"):
+    if "gtr-t5" in model_id or model_id.startswith("t5:") or _is_t5_dir(model_id):
         out = _prepare_gtr(model_id, normalize=normalize, max_length=max_length)
         if with_decoder:
             return (*out, graft_t5_decoder(model_id, out[0], out[1]))
@@ -75,13 +75,58 @@ def prepare_model(
     return config, params, tokenizer
 
 
+def _is_t5_dir(model_id: str) -> bool:
+    """A local HF checkpoint directory whose config declares a T5-family
+    architecture (covers ``T5EncoderModel.save_pretrained`` output and HF
+    hub snapshots of google/t5 or gtr weights downloaded by hand)."""
+    cfg_path = os.path.join(model_id, "config.json")
+    if not (os.path.isdir(model_id) and os.path.exists(cfg_path)):
+        return False
+    import json
+
+    try:
+        with open(cfg_path) as f:
+            return json.load(f).get("model_type") in ("t5", "mt5")
+    except (OSError, ValueError):
+        return False
+
+
+def _prepare_t5_dir(path: str, normalize: bool, max_length: int):
+    """Direct T5-encoder loading from a local checkpoint DIRECTORY -- no
+    sentence_transformers / network required (the reference can only reach
+    GTR weights through SentenceTransformer, reference
+    mfar/modeling/util.py:22-36; a hand-downloaded snapshot works here).
+    No dense projection module (that is part of the sentence-transformers
+    GTR packaging, not the T5 checkpoint itself)."""
+    from transformers import T5EncoderModel
+
+    from mfar_tpu.models.t5_encoder import convert_hf_t5, t5_config_from_hf
+
+    t5 = T5EncoderModel.from_pretrained(path)
+    config = t5_config_from_hf(t5.config, normalize=normalize)
+    params = convert_hf_t5(t5.state_dict(), config)
+    tok_json = os.path.join(path, "tokenizer.json")
+    if os.path.exists(tok_json):
+        tokenizer = HFTokenizer.from_file(tok_json, max_length)
+    else:
+        tokenizer = HFTokenizer.from_pretrained(path, max_length)
+    return config, params, tokenizer
+
+
 def _prepare_gtr(model_id: str, normalize: bool, max_length: int):
     """GTR-T5 via sentence-transformers: T5 encoder + mean pooling + dense
     projection (+ Normalize, stripped unless ``normalize``) -- the module
-    stack the reference builds (reference: mfar/modeling/util.py:22-36)."""
+    stack the reference builds (reference: mfar/modeling/util.py:22-36).
+    Local T5 checkpoint directories load directly (no sentence_transformers
+    dependency) via :func:`_prepare_t5_dir`."""
     import numpy as np
 
     from mfar_tpu.models.t5_encoder import convert_hf_t5, t5_config_from_hf
+
+    if _is_t5_dir(model_id) and not os.path.exists(
+        os.path.join(model_id, "modules.json")  # an ST save keeps its stack
+    ):
+        return _prepare_t5_dir(model_id, normalize=normalize, max_length=max_length)
 
     from sentence_transformers import SentenceTransformer
 
