@@ -576,9 +576,20 @@ class RetrievalEngine:
 
     def retrieve_rerank(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
         """Recall (per-field top-k union) + rerank, the reference pipeline."""
+        return self._rerank_finish(self._rerank_dispatch(queries), top_k)
+
+    def _rerank_dispatch(self, queries: Sequence[str]):
+        """Stage-1 dispatch of the rerank pipeline: query encode + ASYNC
+        per-field dense recall (device arrays, not fetched) + host sparse
+        recall.  No device fetch happens here, so retrieve_many can overlap
+        the next batch's recall scans with this batch's host candidate
+        assembly + stage-2 (the compat mode previously paid two blocking
+        syncs per batch, serial)."""
         b = len(queries)
         q = self.encode_queries(queries)
         cand_sets: List[set] = [set() for _ in range(b)]
+        s = idx = None
+        fd = k = 0
 
         # stage 1a: dense per-field recall -- all fields in ONE corpus pass
         # (F batched matmuls per chunk read + F running PartialReduce
@@ -625,11 +636,6 @@ class RetrievalEngine:
                     q.astype(self.docs_flat.dtype), self.docs_flat,
                     jnp.int32(self.n_docs), fd, k=k, chunk_size=TOPK_CHUNK,
                 )
-            s = np.asarray(s).reshape(b, fd * k)
-            idx = np.asarray(idx).reshape(b, fd * k)
-            for i in range(b):  # -inf hits = shard/corpus padding, drop
-                cand_sets[i].update(int(x) for x in idx[i][np.isfinite(s[i])])
-
         # stage 1b: sparse per-field recall on host
         cleaned = [clean_query(t) for t in queries]
         for fk in self.sparse_keys:
@@ -644,6 +650,23 @@ class RetrievalEngine:
                         if row < 0:  # doc absent from the corpus
                             continue
                     cand_sets[i].add(row)
+
+        return dict(
+            b=b, q=q, s=s, idx=idx, fd=fd, k=k,
+            cand_sets=cand_sets, cleaned=cleaned,
+        )
+
+    def _rerank_finish(self, st, top_k: int) -> List[List[Tuple[str, float]]]:
+        """Finish phase: fetch the stage-1 recall, union candidates on host,
+        score + rerank (stage 2), fetch results."""
+        b, q, cleaned = st["b"], st["q"], st["cleaned"]
+        cand_sets = st["cand_sets"]
+        if st["s"] is not None:
+            fd, k = st["fd"], st["k"]
+            s = np.asarray(st["s"]).reshape(b, fd * k)
+            idx = np.asarray(st["idx"]).reshape(b, fd * k)
+            for i in range(b):  # -inf hits = shard/corpus padding, drop
+                cand_sets[i].update(int(x) for x in idx[i][np.isfinite(s[i])])
 
         # static-width candidate matrix (padded; pad entries masked out)
         width = _round_up(max(max(len(s) for s in cand_sets), 1), 128)
@@ -746,9 +769,19 @@ class RetrievalEngine:
             list(queries[s : s + batch_size]) for s in range(0, len(queries), batch_size)
         ]
         out: List[List[Tuple[str, float]]] = []
-        if mode == "rerank":  # host sync mid-pipeline (candidate union): sequential
+        if mode == "rerank":
+            # One-batch dispatch-ahead: batch i+1's recall scans run on
+            # device while batch i's host candidate assembly + stage-2
+            # rerank proceed (the candidate-union host sync prevents the
+            # deeper exact-mode window).
+            pend = None
             for chunk in chunks:
-                out.extend(self.retrieve_rerank(chunk, top_k))
+                st = self._rerank_dispatch(chunk)
+                if pend is not None:
+                    out.extend(self._rerank_finish(pend, top_k))
+                pend = st
+            if pend is not None:
+                out.extend(self._rerank_finish(pend, top_k))
             return out
         pending: List[Any] = []
         for chunk in chunks:

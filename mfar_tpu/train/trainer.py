@@ -291,19 +291,28 @@ class Trainer:
 
     def validate_proxy(self, state: TrainState) -> float:
         """Cheap validation signal: val-set contrastive loss (reference:
-        mfar/modeling/contrastive.py:647-667)."""
+        mfar/modeling/contrastive.py:647-667).
+
+        Mirrors train_epoch's dispatch discipline: batches prefetch on a
+        background thread, per-batch losses stay device-resident, and ONE
+        drain fetches them all -- a per-batch ``float()`` would serialize
+        every step on the device round-trip (~35 ms each through the TPU
+        relay)."""
         losses = []
-        for batch in self.val_dataset.epoch_batches(
+        it = self.val_dataset.epoch_batches(
             self.cfg.train_batch_size, seed=0, drop_remainder=False
-        ):
+        )
+        for batch in prefetch(it, depth=self.cfg.prefetch_depth):
             # _place_batch shards full batches over the mesh; ragged last
             # batches fall through replicated (leaf-level divisibility guard)
             batch = self._place_batch(strip_meta(batch))
             with self.timer.phase("val_step"):
-                losses.append(float(self.eval_step(state, batch)))
+                losses.append(self.eval_step(state, batch))
             if self.cfg.run_one_iteration:
                 break
-        return float(np.mean(losses)) if losses else float("inf")
+        with self.timer.phase("val_drain"):
+            vals = [float(x) for x in losses]
+        return float(np.mean(vals)) if vals else float("inf")
 
     def trec_eval(
         self,
