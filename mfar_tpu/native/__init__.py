@@ -63,6 +63,25 @@ def load_library():
               "rebuild with `make -C mfar_tpu/native` for faster hybrid "
               "serving (dense-scores fallback in use)")
         lib.mfar_has_postings = False
+    # Round-3 symbols: batched + threaded postings/scoring (one call per
+    # query batch instead of a serial python loop per query).
+    try:
+        lib.mfar_bm25_postings_batch_sizes.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ]
+        lib.mfar_bm25_postings_batch_fill.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ]
+        lib.mfar_bm25_score_batch_mt.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+        ]
+        lib.mfar_has_batched_postings = True
+    except AttributeError:
+        lib.mfar_has_batched_postings = False
     lib.mfar_bm25_save.restype = ctypes.c_int32
     lib.mfar_bm25_save.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.mfar_bm25_load.restype = ctypes.c_void_p
@@ -150,14 +169,49 @@ class NativeBM25:
         )
         return out
 
-    def get_scores_batch(self, queries: Sequence[str]) -> np.ndarray:
+    def get_scores_batch(self, queries: Sequence[str], n_threads: int = 0) -> np.ndarray:
         out = np.zeros((len(queries), self.n_docs), np.float32)
         arr, _keep = _c_str_array(queries)
-        self._lib.mfar_bm25_score_batch(
-            self._handle, arr, len(queries),
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        )
+        if getattr(self._lib, "mfar_has_batched_postings", False):
+            self._lib.mfar_bm25_score_batch_mt(
+                self._handle, arr, len(queries),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                n_threads,
+            )
+        else:
+            self._lib.mfar_bm25_score_batch(
+                self._handle, arr, len(queries),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
         return out
+
+    def get_postings_batch(
+        self, queries: Sequence[str], pad_multiple: int = 128, n_threads: int = 0
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched, THREADED postings: one native call sizes every query,
+        one fills the zero-padded [B, M] (ids, impacts) pair -- replacing
+        the per-query python loop that serialized hybrid serving's host
+        half.  Returns None when the library predates the batched API (the
+        caller falls back to per-query calls)."""
+        if not getattr(self._lib, "mfar_has_batched_postings", False):
+            return None
+        b = len(queries)
+        arr, _keep = _c_str_array(queries)
+        sizes = np.zeros(b, np.int64)
+        self._lib.mfar_bm25_postings_batch_sizes(
+            self._handle, arr, b,
+            sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads,
+        )
+        m = int(sizes.max()) if b else 0
+        m = max(((m + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple)
+        ids = np.zeros((b, m), np.int32)
+        vals = np.zeros((b, m), np.float32)
+        self._lib.mfar_bm25_postings_batch_fill(
+            self._handle, arr, b, m,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
+        )
+        return ids, vals
 
     def get_postings(self, query: str) -> Tuple[np.ndarray, np.ndarray]:
         """Concatenated (doc_ids, impacts) of the query's terms -- one entry

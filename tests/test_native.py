@@ -103,3 +103,49 @@ def test_native_scoring_speed_sanity():
     t_native = score_time(idx_native)
     print(f"scoring 300q: native {t_native*1000:.0f}ms vs python {t_scipy*1000:.0f}ms")
     assert t_native * 2 < t_scipy
+
+
+def test_batched_postings_matches_per_query():
+    """Round 3: the batched+threaded postings entry returns exactly what the
+    per-query API returns (same order, same padding contract), at 1 and 4
+    threads."""
+    idx = native.NativeBM25.create([t for _, t in DOCS])
+    queries = ["red shoe", "glows", "", "red red lamp", "zebra missing"]
+    for n_threads in (1, 4):
+        out = idx.get_postings_batch(queries, pad_multiple=8, n_threads=n_threads)
+        assert out is not None
+        ids, vals = out
+        assert ids.shape == vals.shape and ids.shape[0] == len(queries)
+        assert ids.shape[1] % 8 == 0
+        for qi, q in enumerate(queries):
+            want_ids, want_vals = idx.get_postings(q)
+            n = len(want_ids)
+            np.testing.assert_array_equal(ids[qi, :n], want_ids)
+            np.testing.assert_allclose(vals[qi, :n], want_vals, rtol=1e-6)
+            assert (vals[qi, n:] == 0).all() and (ids[qi, n:] == 0).all()
+
+
+def test_threaded_score_batch_matches_serial():
+    idx = native.NativeBM25.create([t for _, t in DOCS])
+    queries = ["red shoe", "glows", "green chair table"]
+    want = np.stack([idx.get_scores(q) for q in queries])
+    for n_threads in (1, 3):
+        got = idx.get_scores_batch(queries, n_threads=n_threads)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_bm25index_batched_postings_densify_like_scipy():
+    """BM25Index.get_postings_batch (one native batched call) densifies to
+    the same score vectors as the scipy fallback engine."""
+    nat = BM25Index.create(DOCS)
+    ref = BM25Index.create(DOCS, backend="scipy")
+    queries = ["red shoe", "glows", "red red lamp"]
+    ids_n, vals_n = nat.get_postings_batch(queries, pad_multiple=4)
+    ids_r, vals_r = ref.get_postings_batch(queries, pad_multiple=4)
+    n = len(DOCS)
+    dn = np.zeros((len(queries), n), np.float32)
+    dr = np.zeros((len(queries), n), np.float32)
+    for qi in range(len(queries)):
+        np.add.at(dn[qi], ids_n[qi], vals_n[qi])
+        np.add.at(dr[qi], ids_r[qi], vals_r[qi])
+    np.testing.assert_allclose(dn, dr, rtol=1e-5, atol=1e-6)
