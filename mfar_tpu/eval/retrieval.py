@@ -42,6 +42,8 @@ from mfar_tpu.ops.scoring import (
     dense_topk_chunked,
     dense_topk_chunked_approx_int8,
     fold_queries,
+    fused_dense_topk_from_query,
+    fused_hybrid_topk_postings_from_query,
     hybrid_topk_chunked,
     per_field_candidate_scores,
     per_field_topk_chunked_approx,
@@ -366,6 +368,37 @@ class RetrievalEngine:
             )
         return comb
 
+    def _sparse_postings_raw(
+        self, cleaned: List[str]
+    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """All sparse fields' query-term postings concatenated per query,
+        with RAW impacts plus a per-posting SPARSE-FIELD INDEX -- the feed
+        for the fully-fused single-program hybrid path, where each posting
+        picks up its field's softmax weight on device.  Host numpy only (no
+        device work in this dispatch-side helper).  Returns None when the
+        combined postings are denser than half the corpus."""
+        b = len(cleaned)
+        fd = len(self.dense_keys)
+        per_field = []
+        for s_i, fk in enumerate(self.sparse_keys):
+            if self._masked_out(fd + s_i):
+                continue
+            ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
+            ids, vals = self._map_postings(fk, ids, vals)
+            per_field.append((ids, np.asarray(vals), s_i))
+        if not per_field:
+            z = np.zeros((b, 128), np.int32)
+            return z, np.zeros((b, 128), np.float32), z
+        nnz_total = sum(float((v != 0).sum()) for _, v, _ in per_field)
+        if nnz_total * 2 > b * self.n_docs:
+            return None
+        ids = np.concatenate([i for i, _, _ in per_field], axis=1)
+        vals = np.concatenate([v for _, v, _ in per_field], axis=1)
+        fidx = np.concatenate(
+            [np.full(i.shape, s_i, np.int32) for i, _, s_i in per_field], axis=1
+        )
+        return ids.astype(np.int32), vals.astype(np.float32), fidx
+
     def _sparse_postings_combined(
         self, cleaned: List[str], weights: jax.Array
     ) -> Optional[Tuple[np.ndarray, jax.Array]]:
@@ -430,15 +463,53 @@ class RetrievalEngine:
         and the next batch's host prep then overlap device compute."""
         k = min(top_k, self.n_docs)
         q = self.encode_queries(queries)
+        fd = len(self.dense_keys)
+
+        # Single-chip full-precision serving: ONE jitted program from query
+        # embeddings to top-k (weights + fold + scatter densification +
+        # chunked scan fused) -- the eager steps between the encode jit and
+        # the scan jit each paid a dispatch round-trip (~ms on the relay)
+        # and blocked XLA from fusing the fold into the first matmul.
+        if self.mesh is None and self.docs_q is None and self.has_dense:
+            W = self.mixer_params["weight"]
+            mask_arr = None if self.mask is None else jnp.asarray(self.mask, jnp.float32)
+            if self.sparse_keys:
+                cleaned = [clean_query(t) for t in queries]
+                raw = self._sparse_postings_raw(cleaned)
+                if raw is not None:
+                    ids, vals, fidx = raw
+                    top_s, top_i = fused_hybrid_topk_postings_from_query(
+                        q, W, mask_arr, self.docs_flat,
+                        jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(fidx),
+                        jnp.int32(self.n_docs), fd, k, chunk_size=TOPK_CHUNK,
+                    )
+                    return ("device", top_s, top_i)
+                # postings denser than the corpus: host-combined fallback
+                weights = self._field_weights(q)
+                weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+                sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
+                qflat = fold_queries(q, weights[:, :fd])
+                top_s, top_i = hybrid_topk_chunked(
+                    qflat.astype(self.docs_flat.dtype), self.docs_flat,
+                    jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
+                    k=k, chunk_size=TOPK_CHUNK,
+                )
+                return ("device", top_s, top_i)
+            top_s, top_i = fused_dense_topk_from_query(
+                q, W, mask_arr, self.docs_flat, jnp.int32(self.n_docs),
+                fd, k, chunk_size=TOPK_CHUNK,
+            )
+            return ("device", top_s, top_i)
+
         weights = self._field_weights(q)
         weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
-        fd = len(self.dense_keys)
 
         sparse_comb = None
         mesh_postings = None
         if self.sparse_keys:
             cleaned = [clean_query(t) for t in queries]
             if self.mesh is None and self.has_dense:
+                # int8 single-chip hybrid: device scatter densification
                 sparse_comb = self._sparse_comb_device(cleaned, weights)
             elif self.mesh is not None and self.has_dense:
                 # mesh: ship postings, densify per shard (falls back to a

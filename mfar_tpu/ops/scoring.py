@@ -529,3 +529,63 @@ def rerank_candidates(
     kk = min(k, total.shape[1])
     top_s, top_i = jax.lax.top_k(total, kk)
     return top_s, top_i
+
+
+@partial(jax.jit, static_argnames=("num_dense", "k", "chunk_size"))
+def fused_dense_topk_from_query(
+    q: jax.Array,  # [B, E] query embeddings (encoder output)
+    W: jax.Array,  # mixer weight [E, F] or [F, 1]/[1, F]
+    mask: Optional[jax.Array],  # [F] ablation mask or None
+    docs_flat: jax.Array,  # [N, Fd*E]
+    valid_n: jax.Array,
+    num_dense: int,
+    k: int,
+    chunk_size: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-program exact dense serving: softmax field weights -> query
+    fold -> chunked streaming top-k, all inside ONE jit.  The eager
+    weights/broadcast/fold steps between the encode jit and the scan jit
+    each cost a dispatch round-trip on a relay-attached TPU (~ms each) and
+    keep XLA from fusing the fold into the first matmul."""
+    weights = softmax_field_weights(W, q, mask)
+    weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+    qflat = fold_queries(q, weights[:, :num_dense]).astype(docs_flat.dtype)
+    return dense_topk_chunked(qflat, docs_flat, valid_n, k=k, chunk_size=chunk_size)
+
+
+@partial(jax.jit, static_argnames=("num_dense", "k", "chunk_size"))
+def fused_hybrid_topk_postings_from_query(
+    q: jax.Array,  # [B, E]
+    W: jax.Array,
+    mask: Optional[jax.Array],
+    docs_flat: jax.Array,  # [N, Fd*E]
+    post_ids: jax.Array,  # [B, M] i32 corpus rows (0-padded)
+    post_vals: jax.Array,  # [B, M] f32 RAW impacts (0-padded)
+    post_field: jax.Array,  # [B, M] i32 SPARSE-field index per posting
+    valid_n: jax.Array,
+    num_dense: int,
+    k: int,
+    chunk_size: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:
+    """Single-program exact HYBRID serving: weights -> fold -> per-posting
+    weight gather -> scatter densification -> fused chunked hybrid top-k.
+    Raw impacts ship from the host (one [B, M] i32 + f32 pair); each
+    posting picks up its field's post-softmax weight INSIDE the program, so
+    no eager weight multiply / scatter dispatches remain between encode and
+    scan."""
+    b = q.shape[0]
+    n = docs_flat.shape[0]
+    weights = softmax_field_weights(W, q, mask)
+    weights = jnp.broadcast_to(weights, (b, weights.shape[-1]))
+    qflat = fold_queries(q, weights[:, :num_dense]).astype(docs_flat.dtype)
+    # per-posting sparse-field weight: weights[:, num_dense + field]
+    w_sparse = jnp.take_along_axis(
+        weights, num_dense + post_field, axis=1
+    )  # [B, M]
+    sparse_comb = jnp.zeros((b, n), jnp.float32)
+    sparse_comb = sparse_comb.at[jnp.arange(b)[:, None], post_ids].add(
+        post_vals * w_sparse
+    )
+    return hybrid_topk_chunked(
+        qflat, docs_flat, sparse_comb, valid_n, k=k, chunk_size=chunk_size
+    )
