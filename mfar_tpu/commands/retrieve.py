@@ -51,6 +51,10 @@ def main(argv=None) -> None:
     p.add_argument("--use-pallas-gather", action="store_true",
                    help="Pallas DMA rerank gather (faster stage-2; keeps a "
                         "second corpus copy in HBM -- see ops/pallas_kernels.py)")
+    p.add_argument("--dense-topk", default="exact", choices=["exact", "approx"],
+                   help="dense top-k selection in exact mode: exact sort, or "
+                        "the TPU PartialReduce (recall>=0.95, ~2x faster at "
+                        "1M rows; candidate scores stay exact either way)")
     p.add_argument("--dense-dtype", default="bf16", choices=["bf16", "f32"],
                    help="device dtype for the corpus matrix; bf16 (default) "
                         "halves HBM (1M 5-field docs: 7.4 GB vs 15 GB) at "
@@ -152,6 +156,7 @@ def main(argv=None) -> None:
         mesh=mesh,
         corpus_per_slice=args.corpus_per_slice,
         mode=args.mode,
+        dense_topk=args.dense_topk,
         # pallas gather and int8 manage their own corpus representation
         dense_dtype=jnp.bfloat16
         if args.dense_dtype == "bf16" and not args.quantize and not args.use_pallas_gather

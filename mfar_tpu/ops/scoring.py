@@ -531,7 +531,7 @@ def rerank_candidates(
     return top_s, top_i
 
 
-@partial(jax.jit, static_argnames=("num_dense", "k", "chunk_size"))
+@partial(jax.jit, static_argnames=("num_dense", "k", "chunk_size", "approx"))
 def fused_dense_topk_from_query(
     q: jax.Array,  # [B, E] query embeddings (encoder output)
     W: jax.Array,  # mixer weight [E, F] or [F, 1]/[1, F]
@@ -541,6 +541,8 @@ def fused_dense_topk_from_query(
     num_dense: int,
     k: int,
     chunk_size: int = 131072,
+    approx: bool = False,  # PartialReduce selection (recall>=0.95, ~2x at 1M
+    #                        rows); candidate SCORES stay exact either way
 ) -> Tuple[jax.Array, jax.Array]:
     """Single-program exact dense serving: softmax field weights -> query
     fold -> chunked streaming top-k, all inside ONE jit.  The eager
@@ -550,7 +552,8 @@ def fused_dense_topk_from_query(
     weights = softmax_field_weights(W, q, mask)
     weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
     qflat = fold_queries(q, weights[:, :num_dense]).astype(docs_flat.dtype)
-    return dense_topk_chunked(qflat, docs_flat, valid_n, k=k, chunk_size=chunk_size)
+    op = dense_topk_chunked_approx if approx else dense_topk_chunked
+    return op(qflat, docs_flat, valid_n, k=k, chunk_size=chunk_size)
 
 
 @partial(jax.jit, static_argnames=("num_dense", "k", "chunk_size"))

@@ -446,3 +446,21 @@ def test_mesh_engine_dense_only(world):
     res_m = sharded.retrieve(queries, top_k=7)
     for h1, hm in zip(res_1, res_m):
         assert [k for k, _ in h1] == [k for k, _ in hm]
+
+
+def test_dense_topk_approx_option(world):
+    """--dense-topk approx: PartialReduce selection through the fused
+    serving program; on CPU the selection is exact, so rankings must match
+    the exact engine (on TPU recall>=0.95 with exact candidate scores)."""
+    w = world
+    exact_eng = make_engine(w)
+    approx_eng = make_engine(w)
+    approx_eng.dense_topk = "approx"
+    queries = list(w["queries"].values())[:4]
+    want = exact_eng.retrieve(queries, top_k=5, mode="exact")
+    got = approx_eng.retrieve(queries, top_k=5, mode="exact")
+    for hw, hg in zip(want, got):
+        assert [k for k, _ in hw] == [k for k, _ in hg]
+        np.testing.assert_allclose(
+            [s for _, s in hw], [s for _, s in hg], rtol=1e-5
+        )
