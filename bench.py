@@ -336,8 +336,22 @@ def main():
     if not os.environ.get("MFAR_BENCH_FAST"):
         world = engine_world(docs)
         section("topk_b512_qps", lambda: op_qps(docs, 512, 16))
+        dense_engine = []
+        def get_dense():
+            if not dense_engine:
+                dense_engine.append(make_engine(docs, world, False))
+            return dense_engine[0]
         section("engine_dense_exact_qps",
-                lambda: engine_qps(make_engine(docs, world, False), world, 256, "exact"))
+                lambda: engine_qps(get_dense(), world, 256, "exact"))
+        def _approx_qps():
+            eng = get_dense()
+            eng.dense_topk = "approx"  # PartialReduce selection (recall>=0.95)
+            try:
+                return engine_qps(eng, world, 256, "exact")
+            finally:
+                eng.dense_topk = "exact"
+        section("engine_dense_approx_qps", _approx_qps)
+        dense_engine.clear()
         hybrid_engine = []  # built once, measured in both serving modes
         def get_hybrid():
             if not hybrid_engine:
@@ -347,6 +361,8 @@ def main():
                 lambda: engine_qps(get_hybrid(), world, 64, "exact"))
         section("engine_hybrid_rerank_qps",
                 lambda: engine_qps(get_hybrid(), world, 64, "rerank"))
+        section("engine_hybrid_exact_b256_qps",
+                lambda: engine_qps(get_hybrid(), world, 256, "exact"))
         section("index_build_docs_per_s", lambda: index_build_docs_per_s(world))
         hybrid_engine.clear()
         del docs
