@@ -509,6 +509,62 @@ class RetrievalEngine:
             )
             return ("device", top_s, top_i)
 
+        # Mesh full-precision serving: the same fusion as ONE shard_map
+        # program per batch (weights + fold + per-shard scatter + scan).
+        # RAW postings are host arrays, so this path is multi-host safe
+        # (the old premultiplied-impacts path kept device-committed local
+        # tensors that could not be re-put onto a global mesh).
+        if self.mesh is not None and self.docs_q is None and self.has_dense:
+            from mfar_tpu.parallel.topk import (
+                distributed_fused_dense_topk,
+                distributed_fused_hybrid_topk_postings,
+            )
+
+            W = self.mixer_params["weight"]
+            n_fields = len(self.field_info)
+            mask_arr = (
+                jnp.ones(n_fields, jnp.float32) if self.mask is None
+                else jnp.asarray(self.mask, jnp.float32)
+            )
+            qa = self._qaxis(len(queries))
+            if self.sparse_keys:
+                cleaned = [clean_query(t) for t in queries]
+                raw = self._sparse_postings_raw(cleaned)
+                if raw is not None:
+                    ids, vals, fidx = raw
+                    top_s, top_i = distributed_fused_hybrid_topk_postings(
+                        self.mesh, q, W, mask_arr, self.docs_flat,
+                        jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(fidx),
+                        self.n_docs, fd, k, chunk_size=TOPK_CHUNK,
+                        axis=self._corpus_axes, query_axis=qa,
+                    )
+                    return ("device", top_s, top_i)
+                # postings denser than the corpus: host-combined fallback
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from mfar_tpu.parallel.topk import distributed_hybrid_topk
+
+                weights = self._field_weights(q)
+                weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+                sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
+                qflat = fold_queries(q, weights[:, :fd])
+                sparse_sharded = jax.device_put(
+                    sparse_comb, NamedSharding(self.mesh, P(qa, self._corpus_axes))
+                )
+                top_s, top_i = distributed_hybrid_topk(
+                    self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
+                    sparse_sharded, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                    axis=self._corpus_axes, query_axis=qa,
+                )
+                return ("device", top_s, top_i)
+            top_s, top_i = distributed_fused_dense_topk(
+                self.mesh, q, W, mask_arr, self.docs_flat, self.n_docs, fd, k,
+                chunk_size=TOPK_CHUNK, approx=self.dense_topk == "approx",
+                axis=self._corpus_axes, query_axis=qa,
+            )
+            return ("device", top_s, top_i)
+
+        # Remaining paths: sparse-only corpora and the int8 engines.
         weights = self._field_weights(q)
         weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
 
@@ -520,13 +576,11 @@ class RetrievalEngine:
                 # int8 single-chip hybrid: device scatter densification
                 sparse_comb = self._sparse_comb_device(cleaned, weights)
             elif self.mesh is not None and self.has_dense:
-                # mesh: ship postings, densify per shard (falls back to a
-                # host-built [B, N] when postings are denser than the corpus).
-                # Multi-host: the postings path keeps device-committed local
-                # impact tensors that cannot be re-put onto the global mesh;
-                # route through the host-combined [B, N] path instead (every
-                # process builds the identical tensor; device_put then moves
-                # only its own shards).
+                # int8 mesh hybrid: ship premultiplied postings, densify per
+                # shard (falls back to a host-built [B, N] when postings are
+                # denser than the corpus).  Multi-host: the premultiplied
+                # impacts are device-committed local tensors that cannot be
+                # re-put onto the global mesh; use the host-combined path.
                 from mfar_tpu.parallel import multihost
 
                 mesh_postings = (

@@ -535,3 +535,145 @@ def distributed_candidate_scores_int8(
 
     q, cand_ids = _replicate(mesh, q, cand_ids)
     return _run(q, docs_q, doc_scales, cand_ids)
+
+
+def distributed_fused_dense_topk(
+    mesh,
+    q: jax.Array,  # [B, E] query embeddings (replicated)
+    W: jax.Array,  # mixer weight [E, F] or [F, 1]/[1, F] (replicated)
+    mask: jax.Array,  # [F] ablation mask (pass ones when unmasked: a traced
+    #                   arg, not a closure constant, so mask_fields sweeps
+    #                   don't recompile per configuration)
+    docs_flat: jax.Array,  # [N, Fd*E] sharded P(axis)
+    valid_n: int,
+    num_dense: int,
+    k: int,
+    chunk_size: int = 131072,
+    approx: bool = False,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mesh twin of :func:`mfar_tpu.ops.scoring.fused_dense_topk_from_query`:
+    softmax field weights -> query fold -> per-shard chunked scan, all
+    inside ONE shard_map program (the eager weights/fold steps between the
+    encode jit and the scan each cost a dispatch round-trip)."""
+    from mfar_tpu.ops.scoring import (
+        dense_topk_chunked,
+        dense_topk_chunked_approx,
+        fold_queries,
+        softmax_field_weights,
+    )
+
+    n = docs_flat.shape[0]
+    n_shards = _axis_size(mesh, axis)
+    shard_n = n // n_shards
+    local_k = min(k, shard_n)
+    chunk_size = max(min(chunk_size, shard_n), local_k)
+    local_op = dense_topk_chunked_approx if approx else dense_topk_chunked
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(), P(), P(axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q_, W_, mask_, docs):
+        weights = softmax_field_weights(W_, q_, mask_)
+        weights = jnp.broadcast_to(weights, (q_.shape[0], weights.shape[-1]))
+        qflat = fold_queries(q_, weights[:, :num_dense]).astype(docs.dtype)
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        loc_s, loc_i = local_op(
+            qflat, docs, local_valid, k=local_k, chunk_size=chunk_size
+        )
+        return loc_s, loc_i + offset
+
+    q, W, mask = _replicate(mesh, q, W, mask)
+    cand_s, cand_i = _local_topk(q, W, mask, docs_flat)
+    kk = min(k, cand_s.shape[1])
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _merge(cs, ci):
+        top_s, sel = jax.lax.top_k(cs, kk)
+        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+
+    return _merge(cand_s, cand_i)
+
+
+def distributed_fused_hybrid_topk_postings(
+    mesh,
+    q: jax.Array,  # [B, E] query embeddings
+    W: jax.Array,  # mixer weight (all F fields, dense first)
+    mask: jax.Array,  # [F] ablation mask (ones when unmasked; traced arg)
+    docs_flat: jax.Array,  # [N, Fd*E] sharded P(axis)
+    post_ids: jax.Array,  # [B, M] i32 global doc ids (0-padded)
+    post_vals: jax.Array,  # [B, M] f32 RAW impacts (0-padded)
+    post_field: jax.Array,  # [B, M] i32 sparse-field index per posting
+    valid_n: int,
+    num_dense: int,
+    k: int,
+    chunk_size: int = 131072,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mesh twin of
+    :func:`mfar_tpu.ops.scoring.fused_hybrid_topk_postings_from_query`:
+    RAW impacts ship from the host (multi-host safe -- no device-committed
+    premultiplied tensors), each posting picks up its field's softmax
+    weight in-program, and each shard scatter-adds the postings landing in
+    its row range before the fused hybrid scan."""
+    from mfar_tpu.ops.scoring import (
+        fold_queries,
+        hybrid_topk_chunked,
+        softmax_field_weights,
+    )
+
+    n = docs_flat.shape[0]
+    n_shards = _axis_size(mesh, axis)
+    shard_n = n // n_shards
+    local_k = min(k, shard_n)
+    chunk_size = max(min(chunk_size, shard_n), local_k)
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(), P(), P(axis), P(query_axis),
+                  P(query_axis), P(query_axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q_, W_, mask_, docs, ids, vals, fidx):
+        b = q_.shape[0]
+        weights = softmax_field_weights(W_, q_, mask_)
+        weights = jnp.broadcast_to(weights, (b, weights.shape[-1]))
+        qflat = fold_queries(q_, weights[:, :num_dense]).astype(docs.dtype)
+        w_sparse = jnp.take_along_axis(weights, num_dense + fidx, axis=1)
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        local = ids - offset
+        mine = (local >= 0) & (local < shard_n)
+        safe = jnp.where(mine, local, 0)
+        sparse = jnp.zeros((b, shard_n), jnp.float32)
+        sparse = sparse.at[jnp.arange(b)[:, None], safe].add(
+            jnp.where(mine, vals * w_sparse, 0.0)
+        )
+        loc_s, loc_i = hybrid_topk_chunked(
+            qflat, docs, sparse, local_valid, k=local_k, chunk_size=chunk_size
+        )
+        return loc_s, loc_i + offset
+
+    q, W, mask, post_ids, post_vals, post_field = _replicate(
+        mesh, q, W, mask, post_ids, post_vals, post_field
+    )
+    cand_s, cand_i = _local_topk(
+        q, W, mask, docs_flat, post_ids, post_vals, post_field
+    )
+    kk = min(k, cand_s.shape[1])
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _merge(cs, ci):
+        top_s, sel = jax.lax.top_k(cs, kk)
+        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+
+    return _merge(cand_s, cand_i)

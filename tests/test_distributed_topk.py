@@ -188,8 +188,8 @@ def test_distributed_hybrid_postings_matches_dense_comb(rng):
 
 def test_engine_mesh_hybrid_uses_postings_path(monkeypatch, rng):
     """With sparse postings below the density threshold, the mesh engine
-    routes through distributed_hybrid_topk_postings (not the host-dense
-    combine) and still matches the single-device engine."""
+    routes through the fused postings program (not the host-dense combine)
+    and still matches the single-device engine."""
     import mfar_tpu.eval.retrieval as R
     from mfar_tpu.data.schema import resolve_fields
     from mfar_tpu.sparse.bm25 import BM25Index
@@ -206,13 +206,13 @@ def test_engine_mesh_hybrid_uses_postings_path(monkeypatch, rng):
     calls = []
     import mfar_tpu.parallel.topk as T
 
-    orig = T.distributed_hybrid_topk_postings
+    orig = T.distributed_fused_hybrid_topk_postings
 
     def spy(*a, **kw):
         calls.append(1)
         return orig(*a, **kw)
 
-    monkeypatch.setattr(T, "distributed_hybrid_topk_postings", spy)
+    monkeypatch.setattr(T, "distributed_fused_hybrid_topk_postings", spy)
 
     def mk(mesh):
         eng = R.RetrievalEngine(
