@@ -104,3 +104,69 @@ def test_bert_dir_not_routed_to_t5(tmp_path):
     d.mkdir()
     (d / "config.json").write_text(json.dumps({"model_type": "bert"}))
     assert not _is_t5_dir(str(d))
+
+
+@pytest.fixture(scope="module")
+def st_gtr_dir(tmp_path_factory):
+    """A sentence-transformers-layout GTR-like save: T5 encoder + mean
+    pooling + Dense projection + Normalize (modules.json stack) -- what a
+    hand-downloaded sentence-transformers/gtr-t5-* snapshot looks like."""
+    pytest.importorskip("sentence_transformers")
+    from sentence_transformers import models as st_models
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordPiece
+    from tokenizers.pre_tokenizers import Whitespace
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+    from sentence_transformers import SentenceTransformer
+
+    base = str(tmp_path_factory.mktemp("t5_for_st"))
+    cfg = HFT5Config(
+        vocab_size=64, d_model=32, num_layers=2, num_heads=4, d_kv=8,
+        d_ff=64, dropout_rate=0.0, feed_forward_proj="gated-gelu",
+    )
+    torch.manual_seed(1)
+    T5EncoderModel(cfg).eval().save_pretrained(base)
+    vocab = {"<pad>": 0, "[UNK]": 1, "the": 2, "red": 3, "lamp": 4, "glows": 5}
+    tok = Tokenizer(WordPiece(vocab=vocab, unk_token="[UNK]"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(os.path.join(base, "tokenizer.json"))
+
+    word = st_models.Transformer(base)
+    pool = st_models.Pooling(32, pooling_mode="mean")
+    dense = st_models.Dense(32, 24, bias=False,
+                            activation_function=torch.nn.Identity())
+    norm = st_models.Normalize()
+    st = SentenceTransformer(modules=[word, pool, dense, norm])
+    d = str(tmp_path_factory.mktemp("st_gtr"))
+    st.save(d)
+    return d
+
+
+def test_prepare_model_from_st_layout_dir(st_gtr_dir):
+    """prepare_model over a sentence-transformers GTR save: modules.json
+    routes through the ST branch OFFLINE (no network), the Dense projection
+    + Normalize load, and embeddings match st.encode to fp32 tolerance --
+    the module stack the reference builds (mfar/modeling/util.py:22-36)."""
+    import dataclasses
+
+    from sentence_transformers import SentenceTransformer
+
+    from mfar_tpu.models import build_encoder
+    from mfar_tpu.models.registry import prepare_model
+    from mfar_tpu.models.t5_encoder import T5Config
+
+    config, params, tokenizer = prepare_model(st_gtr_dir, normalize=True, max_length=16)
+    assert isinstance(config, T5Config)
+    assert config.projection_dim == 24 and config.normalize
+
+    texts = ["the red lamp glows", "red lamp", "the the glows"]
+    toks = tokenizer.encode_batch(texts, 16)
+    enc = build_encoder(dataclasses.replace(config, dtype=jnp.float32))
+    ours = np.asarray(enc.apply(
+        {"params": params},
+        jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]),
+    ))
+    want = SentenceTransformer(st_gtr_dir).encode(
+        texts, convert_to_numpy=True, normalize_embeddings=False
+    )
+    np.testing.assert_allclose(ours, want, atol=3e-4)
