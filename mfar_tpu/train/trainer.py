@@ -361,13 +361,7 @@ class Trainer:
                 f"the {self._n_dp} batch shards of mesh {dict(self.mesh.shape)}"
             )
         if multihost.is_multiprocess():
-            from mfar_tpu.parallel.mesh import MODEL_AXIS
-
             assert self.mesh is not None, "multihost training requires a mesh"
-            assert self.mesh.shape.get(MODEL_AXIS, 1) == 1, (
-                "multihost training supports n_model == 1 this round "
-                "(process-0 checkpointing needs fully replicated params)"
-            )
         state = self.place_state(state)
         best_monitor = float("inf")
         epochs_without_improvement = 0
@@ -385,6 +379,9 @@ class Trainer:
                     self.best_score = score
                 metrics["best_ndcg_cut_10"] = self.best_score
 
+            # _host_state runs a COLLECTIVE allgather for tensor-parallel
+            # leaves, so every process must call it; only process 0 writes.
+            host_state = self._host_state(state)
             if multihost.is_primary():
                 self.logger.log(metrics, step=int(state.step))
                 print(
@@ -392,18 +389,12 @@ class Trainer:
                     + (f" dev_ndcg@10={metrics.get('dev_ndcg_cut_10', float('nan')):.4f}"
                        if "dev_ndcg_cut_10" in metrics else "")
                 )
-                # Process 0 owns checkpoint I/O.  Under multihost the state
-                # is fully replicated (fit() asserts n_model == 1), so its
-                # local shards are the complete state; convert to host
-                # arrays first -- orbax would otherwise try to coordinate a
-                # global save across processes that aren't calling it.
-                save_state = state
-                if multihost.is_multiprocess():
-                    save_state = jax.tree.map(np.asarray, state)
                 self.ckpt.save(
-                    epoch, save_state, metrics, field_info=self.field_info,
+                    epoch, host_state, metrics,
+                    field_info=self.field_info,
                     config=dataclasses.asdict(cfg),
                 )
+            del host_state
             multihost.sync("epoch-io")
 
             monitored = metrics.get(cfg.monitor, valid_loss)
@@ -420,6 +411,27 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+
+    def _host_state(self, state: TrainState):
+        """State with host-array leaves for process-0 checkpoint I/O.
+
+        Single-process: the state passes through (orbax handles device
+        arrays).  Multi-host: every leaf must become a full host value --
+        replicated leaves convert directly, and tensor-parallel
+        (model-axis-sharded) leaves allgather their shards first
+        (process_allgather), so n_model > 1 checkpoints identically to
+        n_model == 1.  NB every process runs the allgather (collective);
+        only process 0 then writes."""
+        if not multihost.is_multiprocess():
+            return state
+        from jax.experimental import multihost_utils
+
+        def to_host(x):
+            if hasattr(x, "is_fully_replicated") and not x.is_fully_replicated:
+                return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+            return np.asarray(x)
+
+        return jax.tree.map(to_host, state)
 
     def ckpt_step_broadcast(self, which: str = "best") -> Optional[int]:
         """best/latest checkpoint step, known to process 0's filesystem and
@@ -445,7 +457,7 @@ class Trainer:
             return self.ckpt.restore(step, state)
         from jax.experimental import multihost_utils
 
-        host = jax.tree.map(np.asarray, state)
+        host = self._host_state(state)  # collective: all processes call
         if multihost.is_primary():
             host = jax.tree.map(np.asarray, self.ckpt.restore(step, host))
         host = multihost_utils.broadcast_one_to_all(host)

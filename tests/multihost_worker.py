@@ -13,6 +13,7 @@ import sys
 
 def main() -> None:
     pid, nproc, port, ds, idx, scores, out = sys.argv[1:8]
+    extra = sys.argv[8:]  # additional train flags (e.g. --n-model 2)
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
     os.environ["MFAR_COORDINATOR"] = f"127.0.0.1:{port}"
@@ -33,6 +34,7 @@ def main() -> None:
         "--train-batch-size", "8", "--max-epochs", "2",
         "--trec-val-freq", "1", "--recall-k", "10", "--dev-batch-size", "8",
         "--multihost", "force",
+        *extra,
     ])
     print(f"[worker {pid}] done", flush=True)
 

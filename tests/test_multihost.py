@@ -48,6 +48,33 @@ def world(tmp_path_factory):
     return d
 
 
+def run_pair(d, outs, extra=()):
+    """Spawn the 2-process worker pair; returns their outputs."""
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "MFAR_COORDINATOR",
+                        "MFAR_NUM_PROCESSES", "MFAR_PROCESS_ID")}
+    procs = []
+    for pid, out in outs:
+        procs.append(subprocess.Popen(
+            [sys.executable, worker, str(pid), "2", "29731",
+             d["ds"], d["idx"], d["scores"], out, *extra],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        ))
+    texts = []
+    for p in procs:
+        try:
+            out_text, _ = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out_text, _ = p.communicate()
+        texts.append(out_text)
+    for i, (p, out_text) in enumerate(zip(procs, texts)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out_text[-4000:]}"
+    return texts
+
+
 def read_metrics(out_dir):
     path = os.path.join(out_dir, "metrics.jsonl")
     rows = [json.loads(l) for l in open(path)]
@@ -66,28 +93,7 @@ def test_two_process_train_matches_single_process(world):
     assert len(base) == 2
 
     # 2-process run of the SAME CLI via the multihost worker.
-    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
-    env = {k: v for k, v in os.environ.items()
-           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "MFAR_COORDINATOR",
-                        "MFAR_NUM_PROCESSES", "MFAR_PROCESS_ID")}
-    procs = []
-    for pid, out in ((0, d["p0"]), (1, d["p1"])):
-        procs.append(subprocess.Popen(
-            [sys.executable, worker, str(pid), "2", "29731",
-             d["ds"], d["idx"], d["scores"], out],
-            env=env, cwd="/root/repo",
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        ))
-    outs = []
-    for p in procs:
-        try:
-            out_text, _ = p.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            p.kill()
-            out_text, _ = p.communicate()
-        outs.append(out_text)
-    for i, (p, out_text) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, f"worker {i} failed:\n{out_text[-4000:]}"
+    run_pair(d, ((0, d["p0"]), (1, d["p1"])))
 
     # Only process 0 writes artifacts...
     mh = read_metrics(d["p0"])
@@ -107,3 +113,31 @@ def test_two_process_train_matches_single_process(world):
                 assert abs(row_mh[key] - row_base[key]) <= 2e-3 + 1e-3 * abs(row_base[key]), (
                     key, row_mh, row_base,
                 )
+
+
+def test_two_process_tensor_parallel_checkpointing(world, tmp_path):
+    """n_model=2 under multihost: encoder params shard over the model axis
+    ACROSS processes, and process-0 checkpointing allgathers the
+    tensor-parallel leaves (collective _host_state) -- the run completes
+    with a best.txt + checkpoints on process 0 only, and its metrics match
+    a single-process n_model=2 run."""
+    d = world
+    single = str(tmp_path / "tp_single")
+    train_cmd.main([
+        "--dataset-name", "amazon", "--data", d["ds"], "--out", single,
+        "--lexical-index", d["idx"], "--sparse-scores-path", d["scores"],
+        *TRAIN_FLAGS, "--n-model", "2",
+    ])
+    base = read_metrics(single)
+
+    p0, p1 = str(tmp_path / "tp_p0"), str(tmp_path / "tp_p1")
+    run_pair(d, ((0, p0), (1, p1)), extra=("--n-model", "2"))
+    assert os.path.exists(os.path.join(p0, "best.txt"))
+    assert not os.path.exists(os.path.join(p1, "checkpoints"))
+    mh = read_metrics(p0)
+    assert len(mh) == len(base)
+    for row_mh, row_base in zip(mh, base):
+        for key in ("train_loss", "valid_loss"):
+            assert abs(row_mh[key] - row_base[key]) <= 2e-3 + 1e-3 * abs(row_base[key]), (
+                key, row_mh, row_base,
+            )
