@@ -312,6 +312,19 @@ class RetrievalEngine:
             q = jax.device_put(q, NamedSharding(self.mesh, P()))
         return q
 
+    def _to_dev(self, x):
+        """Host array -> device array that can join the engine's jitted
+        computations.  Multi-host mesh: explicit REPLICATED global placement
+        (an uncommitted local array cannot join a global computation);
+        otherwise plain asarray."""
+        from mfar_tpu.parallel import multihost
+
+        if self.mesh is not None and multihost.is_multiprocess():
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(np.asarray(x), NamedSharding(self.mesh, P()))
+        return jnp.asarray(x)
+
     def _field_weights(self, q: jax.Array) -> jax.Array:
         mask = None if self.mask is None else jnp.asarray(self.mask, jnp.float32)
         return softmax_field_weights(self.mixer_params["weight"], q, mask)
@@ -814,7 +827,7 @@ class RetrievalEngine:
         # stage 2: per-field scores for candidates
         if self.dense_keys and self.has_dense:
             fd = len(self.dense_keys)
-            cand_j = jnp.asarray(cand)
+            cand_j = self._to_dev(cand)
             if self.mesh is not None and self.docs_q is not None:
                 from mfar_tpu.parallel.topk import distributed_candidate_scores_int8
 
@@ -868,16 +881,16 @@ class RetrievalEngine:
                         all_scores, np.maximum(cand_bm, 0), axis=1
                     )
                     sp[:, :, s_i] = np.where(cand_bm >= 0, vals, 0.0)
-            sparse_scores = jnp.asarray(sp)
+            sparse_scores = self._to_dev(sp)
 
-        mask = None if self.mask is None else jnp.asarray(self.mask, jnp.float32)
+        mask = None if self.mask is None else self._to_dev(np.asarray(self.mask, np.float32))
         top_s, top_pos = rerank_candidates(
             q.astype(jnp.float32),
             dense_scores,
             sparse_scores,
             self.mixer_params["weight"],
             mask=mask,
-            cand_valid=jnp.asarray(valid),
+            cand_valid=self._to_dev(valid),
             k=min(top_k, width),
         )
         top_s, top_pos = jax.device_get((top_s, top_pos))  # one fetch round-trip
