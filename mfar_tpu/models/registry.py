@@ -123,6 +123,10 @@ def _prepare_gtr(model_id: str, normalize: bool, max_length: int):
 
     from mfar_tpu.models.t5_encoder import convert_hf_t5, t5_config_from_hf
 
+    if model_id.startswith("t5:"):
+        # explicit direct-T5 spelling: ``t5:<hf-id-or-local-dir>`` loads the
+        # bare T5 encoder (no sentence-transformers packaging/projection)
+        return _prepare_t5_dir(model_id[3:], normalize=normalize, max_length=max_length)
     if _is_t5_dir(model_id) and not os.path.exists(
         os.path.join(model_id, "modules.json")  # an ST save keeps its stack
     ):

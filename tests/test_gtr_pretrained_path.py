@@ -170,3 +170,14 @@ def test_prepare_model_from_st_layout_dir(st_gtr_dir):
         texts, convert_to_numpy=True, normalize_embeddings=False
     )
     np.testing.assert_allclose(ours, want, atol=3e-4)
+
+
+def test_t5_prefix_spelling(t5_dir):
+    """The documented ``t5:<id-or-dir>`` spelling loads the bare T5 encoder
+    directly (previously routed into SentenceTransformer and crashed)."""
+    from mfar_tpu.models.registry import prepare_model
+    from mfar_tpu.models.t5_encoder import T5Config
+
+    d, _ = t5_dir
+    config, params, tokenizer = prepare_model(f"t5:{d}", max_length=16)
+    assert isinstance(config, T5Config) and config.d_model == 32
