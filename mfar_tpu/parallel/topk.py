@@ -11,11 +11,17 @@ The TPU equivalents of the reference's eval data flow (SURVEY.md section
 - :func:`distributed_candidate_scores`: rerank-stage gather without
   materializing a global gather: each shard scores the candidate ids it
   owns and a psum over ICI assembles the full [B, C, F] score tensor.
+
+Every public function routes through an ``lru_cache``'d builder keyed on
+its static parameters (mesh, shapes, k, chunk size, axes), so the
+shard_map body and the merge jit are created ONCE per configuration and
+serving does not re-trace per batch (a fresh closure per call means an
+empty jit cache per call -- trace+compile latency on every batch).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple, Union
 
 import jax
@@ -34,6 +40,8 @@ from mfar_tpu.parallel.mesh import DATA_AXIS
 
 AxisSpec = Union[str, Tuple[str, ...]]
 
+_CACHE_SIZE = 64  # distinct (mesh, corpus, k, ...) serving configurations
+
 
 def _axis_size(mesh, axis: AxisSpec) -> int:
     if isinstance(axis, str):
@@ -45,33 +53,41 @@ def _replicate(mesh, *arrays):
     """Commit query-side arrays to the mesh, replicated.  They typically
     arrive committed to a single device (the encoder jit's output); feeding
     that into a shard_map over the full mesh is a device-set mismatch."""
-    from jax.sharding import NamedSharding
-
     rep = NamedSharding(mesh, P())
     return tuple(jax.device_put(a, rep) for a in arrays)
 
 
-def distributed_dense_topk(
-    mesh,
-    qflat: jax.Array,  # [B, F*E] folded queries (replicated)
-    docs_flat: jax.Array,  # [N, F*E] sharded P('data') on rows; N % n_shards == 0 (rows only)
-    valid_n: int,  # real rows (padding beyond scores -inf)
-    k: int,
-    chunk_size: int = 131072,
-    approx: bool = False,  # PartialReduce local top-k (recall stage)
-    axis: AxisSpec = DATA_AXIS,  # e.g. ('replica', 'data') for multi-slice
-    query_axis: Optional[str] = None,  # shard the QUERY batch over this axis
-    #   (throughput scaling: with a per-slice corpus, each slice serves its
-    #   own slice of the batch instead of duplicating the scan)
-) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
-    n = docs_flat.shape[0]
+def _shard_geometry(mesh, n: int, k: int, chunk_size: int, axis: AxisSpec):
     n_shards = _axis_size(mesh, axis)
     shard_n = n // n_shards
     local_k = min(k, shard_n)
-    # Per-shard chunking must divide the shard and hold the top-k carry.
     # The streaming ops handle a ragged tail chunk, so chunk_size need not
     # divide shard_n; it only has to hold the local top-k carry.
     chunk_size = max(min(chunk_size, shard_n), local_k)
+    return n_shards, shard_n, local_k, chunk_size
+
+
+def _make_merge(mesh, k: int, kk: int):
+    """[B, n_shards*local_k] candidate lists -> final [B, k] top-k.
+
+    Replicated out-sharding: every process must be able to fetch the tiny
+    [B, k] result under a multi-host mesh (a non-addressable-shard
+    device_get raises); single-process this is a no-op-sized all-gather."""
+
+    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
+    def _merge(cs, ci):
+        top_s, sel = jax.lax.top_k(cs, kk)
+        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=-1), k)
+
+    return _merge
+
+
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_dense_topk(mesh, n, valid_n, k, chunk_size, approx, axis,
+                      query_axis):
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
+    )
     local_op = dense_topk_chunked_approx if approx else dense_topk_chunked
 
     @partial(
@@ -89,22 +105,63 @@ def distributed_dense_topk(
         )
         return loc_s, loc_i + offset
 
-    # [B, n_shards*local_k] shard-candidate lists; the final merge is a tiny
-    # top-k (XLA all-gathers the candidates over ICI automatically).
-    (qflat,) = _replicate(mesh, qflat)
-    cand_s, cand_i = _local_topk(qflat, docs_flat)
+    merge = _make_merge(mesh, k, kk=min(k, n_shards * local_k))
 
-    kk = min(k, cand_s.shape[1])
+    def run(qflat, docs_flat):
+        (qflat,) = _replicate(mesh, qflat)
+        return merge(*_local_topk(qflat, docs_flat))
 
-    # Replicated out-sharding: every process must be able to fetch the tiny
-    # [B, k] result under a multi-host mesh (a non-addressable-shard
-    # device_get raises); single-process this is a no-op-sized all-gather.
-    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    def _merge(cs, ci):
-        top_s, sel = jax.lax.top_k(cs, kk)
-        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+    return run
 
-    return _merge(cand_s, cand_i)
+
+def distributed_dense_topk(
+    mesh,
+    qflat: jax.Array,  # [B, F*E] folded queries (replicated)
+    docs_flat: jax.Array,  # [N, F*E] sharded P('data') on rows; N % n_shards == 0 (rows only)
+    valid_n: int,  # real rows (padding beyond scores -inf)
+    k: int,
+    chunk_size: int = 131072,
+    approx: bool = False,  # PartialReduce local top-k (recall stage)
+    axis: AxisSpec = DATA_AXIS,  # e.g. ('replica', 'data') for multi-slice
+    query_axis: Optional[str] = None,  # shard the QUERY batch over this axis
+    #   (throughput scaling: with a per-slice corpus, each slice serves its
+    #   own slice of the batch instead of duplicating the scan)
+) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
+    run = _build_dense_topk(
+        mesh, docs_flat.shape[0], int(valid_n), k, chunk_size, bool(approx),
+        axis, query_axis,
+    )
+    return run(qflat, docs_flat)
+
+
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_hybrid_topk(mesh, n, valid_n, k, chunk_size, axis, query_axis):
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(axis), P(query_axis, axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q, docs, sparse):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        loc_s, loc_i = hybrid_topk_chunked(
+            q, docs, sparse, local_valid, k=local_k, chunk_size=chunk_size
+        )
+        return loc_s, loc_i + offset
+
+    merge = _make_merge(mesh, k, kk=min(k, n_shards * local_k))
+
+    def run(qflat, docs_flat, sparse_comb):
+        (qflat,) = _replicate(mesh, qflat)
+        return merge(*_local_topk(qflat, docs_flat, sparse_comb))
+
+    return run
 
 
 def distributed_hybrid_topk(
@@ -124,69 +181,19 @@ def distributed_hybrid_topk(
     its slice of the host-streamed sparse scores, keeps a local top-k, and
     the [B, n_shards*k] candidates merge over ICI (see
     :func:`mfar_tpu.ops.scoring.hybrid_topk_chunked`)."""
-    n = docs_flat.shape[0]
-    n_shards = _axis_size(mesh, axis)
-    shard_n = n // n_shards
-    local_k = min(k, shard_n)
-    # The streaming ops handle a ragged tail chunk, so chunk_size need not
-    # divide shard_n; it only has to hold the local top-k carry.
-    chunk_size = max(min(chunk_size, shard_n), local_k)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(query_axis), P(axis), P(query_axis, axis)),
-        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    run = _build_hybrid_topk(
+        mesh, docs_flat.shape[0], int(valid_n), k, chunk_size, axis,
+        query_axis,
     )
-    def _local_topk(q, docs, sparse):
-        shard_id = jax.lax.axis_index(axis)
-        offset = (shard_id * shard_n).astype(jnp.int32)
-        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
-        loc_s, loc_i = hybrid_topk_chunked(
-            q, docs, sparse, local_valid, k=local_k, chunk_size=chunk_size
-        )
-        return loc_s, loc_i + offset
-
-    (qflat,) = _replicate(mesh, qflat)
-    cand_s, cand_i = _local_topk(qflat, docs_flat, sparse_comb)
-    kk = min(k, cand_s.shape[1])
-
-    # Replicated out-sharding: every process must be able to fetch the tiny
-    # [B, k] result under a multi-host mesh (a non-addressable-shard
-    # device_get raises); single-process this is a no-op-sized all-gather.
-    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    def _merge(cs, ci):
-        top_s, sel = jax.lax.top_k(cs, kk)
-        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
-
-    return _merge(cand_s, cand_i)
+    return run(qflat, docs_flat, sparse_comb)
 
 
-def distributed_hybrid_topk_postings(
-    mesh,
-    qflat: jax.Array,  # [B, F*E] folded queries
-    docs_flat: jax.Array,  # [N, F*E] sharded P(axis) on rows
-    post_ids: jax.Array,  # [B, M] i32 global doc ids (weight-premultiplied
-    post_vals: jax.Array,  # [B, M] f32 impacts; zero-padded; duplicates sum)
-    valid_n: int,
-    k: int,
-    chunk_size: int = 131072,
-    axis: AxisSpec = DATA_AXIS,
-    query_axis: Optional[str] = None,
-) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
-    """EXACT distributed hybrid top-k fed by POSTINGS: each shard scatter-
-    adds the postings that land in its row range into a local [B, shard_n]
-    sparse-score slice, then fuses it with its dense scan.  Only O(B * nnz)
-    ids+impacts cross the host->device link and the interconnect -- the
-    dense-combine variant ships a full [B, N] tensor (host-combined, 1-vCPU
-    bound; measured 3.6 s vs ~0.1 s per 64-query batch at N=1M)."""
-    n = docs_flat.shape[0]
-    n_shards = _axis_size(mesh, axis)
-    shard_n = n // n_shards
-    local_k = min(k, shard_n)
-    # The streaming ops handle a ragged tail chunk, so chunk_size need not
-    # divide shard_n; it only has to hold the local top-k carry.
-    chunk_size = max(min(chunk_size, shard_n), local_k)
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_hybrid_topk_postings(mesh, n, valid_n, k, chunk_size, axis,
+                                query_axis):
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
+    )
 
     @partial(
         jax.shard_map,
@@ -211,19 +218,81 @@ def distributed_hybrid_topk_postings(
         )
         return loc_s, loc_i + offset
 
-    qflat, post_ids, post_vals = _replicate(mesh, qflat, post_ids, post_vals)
-    cand_s, cand_i = _local_topk(qflat, docs_flat, post_ids, post_vals)
-    kk = min(k, cand_s.shape[1])
+    merge = _make_merge(mesh, k, kk=min(k, n_shards * local_k))
 
-    # Replicated out-sharding: every process must be able to fetch the tiny
-    # [B, k] result under a multi-host mesh (a non-addressable-shard
-    # device_get raises); single-process this is a no-op-sized all-gather.
+    def run(qflat, docs_flat, post_ids, post_vals):
+        qflat, post_ids, post_vals = _replicate(
+            mesh, qflat, post_ids, post_vals
+        )
+        return merge(*_local_topk(qflat, docs_flat, post_ids, post_vals))
+
+    return run
+
+
+def distributed_hybrid_topk_postings(
+    mesh,
+    qflat: jax.Array,  # [B, F*E] folded queries
+    docs_flat: jax.Array,  # [N, F*E] sharded P(axis) on rows
+    post_ids: jax.Array,  # [B, M] i32 global doc ids (weight-premultiplied
+    post_vals: jax.Array,  # [B, M] f32 impacts; zero-padded; duplicates sum)
+    valid_n: int,
+    k: int,
+    chunk_size: int = 131072,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, [B, k] global row ids
+    """EXACT distributed hybrid top-k fed by POSTINGS: each shard scatter-
+    adds the postings that land in its row range into a local [B, shard_n]
+    sparse-score slice, then fuses it with its dense scan.  Only O(B * nnz)
+    ids+impacts cross the host->device link and the interconnect -- the
+    dense-combine variant ships a full [B, N] tensor (host-combined, 1-vCPU
+    bound; measured 3.6 s vs ~0.1 s per 64-query batch at N=1M)."""
+    run = _build_hybrid_topk_postings(
+        mesh, docs_flat.shape[0], int(valid_n), k, chunk_size, axis,
+        query_axis,
+    )
+    return run(qflat, docs_flat, post_ids, post_vals)
+
+
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_per_field_topk(mesh, n, valid_n, num_fields, k, chunk_size, axis,
+                          query_axis):
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(axis)),
+        out_specs=(P(query_axis, None, axis), P(query_axis, None, axis)),
+    )
+    def _local_topk(q_, docs):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        loc_s, loc_i = per_field_topk_chunked_approx(
+            q_, docs, local_valid, num_fields, k=local_k, chunk_size=chunk_size
+        )
+        return loc_s, loc_i + offset
+
+    kk = min(k, n_shards * local_k)
+
     @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
     def _merge(cs, ci):
         top_s, sel = jax.lax.top_k(cs, kk)
-        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+        top_i = jnp.take_along_axis(ci, sel, axis=-1)
+        if kk < k:
+            pad = [(0, 0), (0, 0), (0, k - kk)]
+            top_s = jnp.pad(top_s, pad, constant_values=-jnp.inf)
+            top_i = jnp.pad(top_i, pad)
+        return top_s, top_i
 
-    return _merge(cand_s, cand_i)
+    def run(q, docs_flat):
+        (q,) = _replicate(mesh, q)
+        return _merge(*_local_topk(q, docs_flat))
+
+    return run
 
 
 def distributed_per_field_topk(
@@ -241,65 +310,17 @@ def distributed_per_field_topk(
     """Distributed per-field recall: one corpus pass per shard produces all
     F per-field local top-ks (:func:`per_field_topk_chunked_approx`); the
     [B, F, n_shards*k] candidates merge per field over ICI."""
-    n = docs_flat.shape[0]
-    n_shards = _axis_size(mesh, axis)
-    shard_n = n // n_shards
-    local_k = min(k, shard_n)
-    # The streaming ops handle a ragged tail chunk, so chunk_size need not
-    # divide shard_n; it only has to hold the local top-k carry.
-    chunk_size = max(min(chunk_size, shard_n), local_k)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(query_axis), P(axis)),
-        out_specs=(P(query_axis, None, axis), P(query_axis, None, axis)),
+    run = _build_per_field_topk(
+        mesh, docs_flat.shape[0], int(valid_n), num_fields, k, chunk_size,
+        axis, query_axis,
     )
-    def _local_topk(q_, docs):
-        shard_id = jax.lax.axis_index(axis)
-        offset = (shard_id * shard_n).astype(jnp.int32)
-        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
-        loc_s, loc_i = per_field_topk_chunked_approx(
-            q_, docs, local_valid, num_fields, k=local_k, chunk_size=chunk_size
-        )
-        return loc_s, loc_i + offset
-
-    (q,) = _replicate(mesh, q)
-    cand_s, cand_i = _local_topk(q, docs_flat)
-    kk = min(k, cand_s.shape[-1])
-
-    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    def _merge(cs, ci):
-        top_s, sel = jax.lax.top_k(cs, kk)
-        top_i = jnp.take_along_axis(ci, sel, axis=-1)
-        if kk < k:
-            pad = [(0, 0), (0, 0), (0, k - kk)]
-            top_s = jnp.pad(top_s, pad, constant_values=-jnp.inf)
-            top_i = jnp.pad(top_i, pad)
-        return top_s, top_i
-
-    return _merge(cand_s, cand_i)
+    return run(q, docs_flat)
 
 
-def distributed_candidate_scores(
-    mesh,
-    q: jax.Array,  # [B, E] (replicated)
-    docs: jax.Array,  # [N, F, E] or flat [N, F*E], sharded P('data') on rows
-    cand_ids: jax.Array,  # [B, C] global row ids (replicated); -1 = padding
-    axis: AxisSpec = DATA_AXIS,
-    num_fields: Optional[int] = None,  # required when docs is flat [N, F*E]
-    query_axis: Optional[str] = None,  # shard the query batch (and its
-    #   candidate lists) over this axis
-) -> jax.Array:  # [B, C, F] per-field dense scores
-    """Each shard gathers only the candidates that live in its slice and
-    contributes their scores; a psum over ICI yields the full tensor.
-    Avoids a cross-shard gather of embedding rows (only the [B, C, F] score
-    tensor rides the interconnect)."""
-    n = docs.shape[0]
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_candidate_scores(mesh, n, f, axis, query_axis):
     n_shards = _axis_size(mesh, axis)
     shard_n = n // n_shards
-    f = docs.shape[1] if docs.ndim == 3 else num_fields
-    assert f is not None, "pass num_fields for flat [N, F*E] corpora"
 
     @partial(
         jax.shard_map,
@@ -321,14 +342,72 @@ def distributed_candidate_scores(
         scores = jnp.where(mine[..., None], scores, 0.0)
         return jax.lax.psum(scores, axis)
 
-    q, cand_ids = _replicate(mesh, q, cand_ids)
-    return _run(q, docs, cand_ids)
+    def run(q, docs, cand_ids):
+        q, cand_ids = _replicate(mesh, q, cand_ids)
+        return _run(q, docs, cand_ids)
+
+    return run
+
+
+def distributed_candidate_scores(
+    mesh,
+    q: jax.Array,  # [B, E] (replicated)
+    docs: jax.Array,  # [N, F, E] or flat [N, F*E], sharded P('data') on rows
+    cand_ids: jax.Array,  # [B, C] global row ids (replicated); -1 = padding
+    axis: AxisSpec = DATA_AXIS,
+    num_fields: Optional[int] = None,  # required when docs is flat [N, F*E]
+    query_axis: Optional[str] = None,  # shard the query batch (and its
+    #   candidate lists) over this axis
+) -> jax.Array:  # [B, C, F] per-field dense scores
+    """Each shard gathers only the candidates that live in its slice and
+    contributes their scores; a psum over ICI yields the full tensor.
+    Avoids a cross-shard gather of embedding rows (only the [B, C, F] score
+    tensor rides the interconnect)."""
+    f = docs.shape[1] if docs.ndim == 3 else num_fields
+    assert f is not None, "pass num_fields for flat [N, F*E] corpora"
+    run = _build_candidate_scores(mesh, docs.shape[0], int(f), axis,
+                                  query_axis)
+    return run(q, docs, cand_ids)
 
 
 def shard_info(mesh, n: int) -> Tuple[int, int]:
     n_shards = _axis_size(mesh, DATA_AXIS)
     assert n % n_shards == 0
     return n_shards, n // n_shards
+
+
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_dense_topk_int8(mesh, n, valid_n, k, chunk_size, exact, axis,
+                           query_axis):
+    from mfar_tpu.ops.scoring import dense_topk_chunked_approx_int8
+
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(axis), P(axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q, docs, scales):
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        loc_s, loc_i = dense_topk_chunked_approx_int8(
+            q, docs, scales, local_valid, k=local_k, chunk_size=chunk_size,
+            exact=exact,
+        )
+        return loc_s, loc_i + offset
+
+    merge = _make_merge(mesh, k, kk=min(k, n_shards * local_k))
+
+    def run(qflat, docs_q, doc_scales):
+        (qflat,) = _replicate(mesh, qflat)
+        return merge(*_local_topk(qflat, docs_q, doc_scales))
+
+    return run
 
 
 def distributed_dense_topk_int8(
@@ -349,65 +428,21 @@ def distributed_dense_topk_int8(
     (:func:`mfar_tpu.ops.scoring.dense_topk_chunked_approx_int8`) and the
     [B, n_shards*k] candidates merge over ICI.  ``exact=True`` leaves the
     per-shard quantization error as the only deviation from f32."""
-    from mfar_tpu.ops.scoring import dense_topk_chunked_approx_int8
-
-    n = docs_q.shape[0]
-    n_shards = _axis_size(mesh, axis)
-    shard_n = n // n_shards
-    local_k = min(k, shard_n)
-    chunk_size = max(min(chunk_size, shard_n), local_k)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(query_axis), P(axis), P(axis)),
-        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    run = _build_dense_topk_int8(
+        mesh, docs_q.shape[0], int(valid_n), k, chunk_size, bool(exact),
+        axis, query_axis,
     )
-    def _local_topk(q, docs, scales):
-        shard_id = jax.lax.axis_index(axis)
-        offset = (shard_id * shard_n).astype(jnp.int32)
-        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
-        loc_s, loc_i = dense_topk_chunked_approx_int8(
-            q, docs, scales, local_valid, k=local_k, chunk_size=chunk_size,
-            exact=exact,
-        )
-        return loc_s, loc_i + offset
-
-    (qflat,) = _replicate(mesh, qflat)
-    cand_s, cand_i = _local_topk(qflat, docs_q, doc_scales)
-    kk = min(k, cand_s.shape[1])
-
-    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    def _merge(cs, ci):
-        top_s, sel = jax.lax.top_k(cs, kk)
-        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
-
-    return _merge(cand_s, cand_i)
+    return run(qflat, docs_q, doc_scales)
 
 
-def distributed_hybrid_topk_postings_int8(
-    mesh,
-    qflat: jax.Array,  # [B, F*E] folded queries (float)
-    docs_q: jax.Array,  # [N, F*E] int8 corpus, sharded P(axis)
-    doc_scales: jax.Array,  # [N] f32 scales, sharded P(axis)
-    post_ids: jax.Array,  # [B, M] i32 global doc ids
-    post_vals: jax.Array,  # [B, M] f32 weight-premultiplied impacts
-    valid_n: int,
-    k: int,
-    chunk_size: int = 131072,
-    axis: AxisSpec = DATA_AXIS,
-    query_axis: Optional[str] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """int8 twin of :func:`distributed_hybrid_topk_postings`: each shard
-    scatter-adds its postings slice and fuses it with the quantized dense
-    scan (exact per-chunk top-k; sparse scores stay f32)."""
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_hybrid_topk_postings_int8(mesh, n, valid_n, k, chunk_size, axis,
+                                     query_axis):
     from mfar_tpu.ops.scoring import hybrid_topk_chunked_int8
 
-    n = docs_q.shape[0]
-    n_shards = _axis_size(mesh, axis)
-    shard_n = n // n_shards
-    local_k = min(k, shard_n)
-    chunk_size = max(min(chunk_size, shard_n), local_k)
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
+    )
 
     @partial(
         jax.shard_map,
@@ -433,39 +468,49 @@ def distributed_hybrid_topk_postings_int8(
         )
         return loc_s, loc_i + offset
 
-    qflat, post_ids, post_vals = _replicate(mesh, qflat, post_ids, post_vals)
-    cand_s, cand_i = _local_topk(qflat, docs_q, doc_scales, post_ids, post_vals)
-    kk = min(k, cand_s.shape[1])
+    merge = _make_merge(mesh, k, kk=min(k, n_shards * local_k))
 
-    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    def _merge(cs, ci):
-        top_s, sel = jax.lax.top_k(cs, kk)
-        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+    def run(qflat, docs_q, doc_scales, post_ids, post_vals):
+        qflat, post_ids, post_vals = _replicate(
+            mesh, qflat, post_ids, post_vals
+        )
+        return merge(
+            *_local_topk(qflat, docs_q, doc_scales, post_ids, post_vals)
+        )
 
-    return _merge(cand_s, cand_i)
+    return run
 
 
-def distributed_hybrid_topk_int8(
+def distributed_hybrid_topk_postings_int8(
     mesh,
-    qflat: jax.Array,
-    docs_q: jax.Array,  # [N, F*E] int8, sharded P(axis)
-    doc_scales: jax.Array,  # [N], sharded P(axis)
-    sparse_comb: jax.Array,  # [B, N] combined sparse scores, P(query_axis, axis)
+    qflat: jax.Array,  # [B, F*E] folded queries (float)
+    docs_q: jax.Array,  # [N, F*E] int8 corpus, sharded P(axis)
+    doc_scales: jax.Array,  # [N] f32 scales, sharded P(axis)
+    post_ids: jax.Array,  # [B, M] i32 global doc ids
+    post_vals: jax.Array,  # [B, M] f32 weight-premultiplied impacts
     valid_n: int,
     k: int,
     chunk_size: int = 131072,
     axis: AxisSpec = DATA_AXIS,
     query_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """int8 twin of :func:`distributed_hybrid_topk` (host-combined [B, N]
-    sparse fallback path)."""
+    """int8 twin of :func:`distributed_hybrid_topk_postings`: each shard
+    scatter-adds its postings slice and fuses it with the quantized dense
+    scan (exact per-chunk top-k; sparse scores stay f32)."""
+    run = _build_hybrid_topk_postings_int8(
+        mesh, docs_q.shape[0], int(valid_n), k, chunk_size, axis, query_axis,
+    )
+    return run(qflat, docs_q, doc_scales, post_ids, post_vals)
+
+
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_hybrid_topk_int8(mesh, n, valid_n, k, chunk_size, axis,
+                            query_axis):
     from mfar_tpu.ops.scoring import hybrid_topk_chunked_int8
 
-    n = docs_q.shape[0]
-    n_shards = _axis_size(mesh, axis)
-    shard_n = n // n_shards
-    local_k = min(k, shard_n)
-    chunk_size = max(min(chunk_size, shard_n), local_k)
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
+    )
 
     @partial(
         jax.shard_map,
@@ -483,31 +528,37 @@ def distributed_hybrid_topk_int8(
         )
         return loc_s, loc_i + offset
 
-    (qflat,) = _replicate(mesh, qflat)
-    cand_s, cand_i = _local_topk(qflat, docs_q, doc_scales, sparse_comb)
-    kk = min(k, cand_s.shape[1])
+    merge = _make_merge(mesh, k, kk=min(k, n_shards * local_k))
 
-    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    def _merge(cs, ci):
-        top_s, sel = jax.lax.top_k(cs, kk)
-        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+    def run(qflat, docs_q, doc_scales, sparse_comb):
+        (qflat,) = _replicate(mesh, qflat)
+        return merge(*_local_topk(qflat, docs_q, doc_scales, sparse_comb))
 
-    return _merge(cand_s, cand_i)
+    return run
 
 
-def distributed_candidate_scores_int8(
+def distributed_hybrid_topk_int8(
     mesh,
-    q: jax.Array,  # [B, E] (replicated)
+    qflat: jax.Array,
     docs_q: jax.Array,  # [N, F*E] int8, sharded P(axis)
     doc_scales: jax.Array,  # [N], sharded P(axis)
-    cand_ids: jax.Array,  # [B, C] global row ids (replicated)
-    num_fields: int,
+    sparse_comb: jax.Array,  # [B, N] combined sparse scores, P(query_axis, axis)
+    valid_n: int,
+    k: int,
+    chunk_size: int = 131072,
     axis: AxisSpec = DATA_AXIS,
     query_axis: Optional[str] = None,
-) -> jax.Array:  # [B, C, F] per-field dense scores (dequantized)
-    """int8 twin of :func:`distributed_candidate_scores`: each shard
-    dequantizes only the candidate rows it owns before scoring."""
-    n = docs_q.shape[0]
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 twin of :func:`distributed_hybrid_topk` (host-combined [B, N]
+    sparse fallback path)."""
+    run = _build_hybrid_topk_int8(
+        mesh, docs_q.shape[0], int(valid_n), k, chunk_size, axis, query_axis,
+    )
+    return run(qflat, docs_q, doc_scales, sparse_comb)
+
+
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_candidate_scores_int8(mesh, n, num_fields, axis, query_axis):
     n_shards = _axis_size(mesh, axis)
     shard_n = n // n_shards
     f = num_fields
@@ -533,8 +584,66 @@ def distributed_candidate_scores_int8(
         scores = jnp.where(mine[..., None], scores, 0.0)
         return jax.lax.psum(scores, axis)
 
-    q, cand_ids = _replicate(mesh, q, cand_ids)
-    return _run(q, docs_q, doc_scales, cand_ids)
+    def run(q, docs_q, doc_scales, cand_ids):
+        q, cand_ids = _replicate(mesh, q, cand_ids)
+        return _run(q, docs_q, doc_scales, cand_ids)
+
+    return run
+
+
+def distributed_candidate_scores_int8(
+    mesh,
+    q: jax.Array,  # [B, E] (replicated)
+    docs_q: jax.Array,  # [N, F*E] int8, sharded P(axis)
+    doc_scales: jax.Array,  # [N], sharded P(axis)
+    cand_ids: jax.Array,  # [B, C] global row ids (replicated)
+    num_fields: int,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> jax.Array:  # [B, C, F] per-field dense scores (dequantized)
+    """int8 twin of :func:`distributed_candidate_scores`: each shard
+    dequantizes only the candidate rows it owns before scoring."""
+    run = _build_candidate_scores_int8(
+        mesh, docs_q.shape[0], int(num_fields), axis, query_axis
+    )
+    return run(q, docs_q, doc_scales, cand_ids)
+
+
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_fused_dense_topk(mesh, n, valid_n, num_dense, k, chunk_size,
+                            approx, axis, query_axis):
+    from mfar_tpu.ops.scoring import fold_queries, softmax_field_weights
+
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
+    )
+    local_op = dense_topk_chunked_approx if approx else dense_topk_chunked
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(), P(), P(axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q_, W_, mask_, docs):
+        weights = softmax_field_weights(W_, q_, mask_)
+        weights = jnp.broadcast_to(weights, (q_.shape[0], weights.shape[-1]))
+        qflat = fold_queries(q_, weights[:, :num_dense]).astype(docs.dtype)
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        loc_s, loc_i = local_op(
+            qflat, docs, local_valid, k=local_k, chunk_size=chunk_size
+        )
+        return loc_s, loc_i + offset
+
+    merge = _make_merge(mesh, k, kk=min(k, n_shards * local_k))
+
+    def run(q, W, mask, docs_flat):
+        q, W, mask = _replicate(mesh, q, W, mask)
+        return merge(*_local_topk(q, W, mask, docs_flat))
+
+    return run
 
 
 def distributed_fused_dense_topk(
@@ -557,83 +666,21 @@ def distributed_fused_dense_topk(
     softmax field weights -> query fold -> per-shard chunked scan, all
     inside ONE shard_map program (the eager weights/fold steps between the
     encode jit and the scan each cost a dispatch round-trip)."""
-    from mfar_tpu.ops.scoring import (
-        dense_topk_chunked,
-        dense_topk_chunked_approx,
-        fold_queries,
-        softmax_field_weights,
+    run = _build_fused_dense_topk(
+        mesh, docs_flat.shape[0], int(valid_n), int(num_dense), k,
+        chunk_size, bool(approx), axis, query_axis,
     )
+    return run(q, W, mask, docs_flat)
 
-    n = docs_flat.shape[0]
-    n_shards = _axis_size(mesh, axis)
-    shard_n = n // n_shards
-    local_k = min(k, shard_n)
-    chunk_size = max(min(chunk_size, shard_n), local_k)
-    local_op = dense_topk_chunked_approx if approx else dense_topk_chunked
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(query_axis), P(), P(), P(axis)),
-        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_fused_hybrid_topk_postings(mesh, n, valid_n, num_dense, k,
+                                      chunk_size, axis, query_axis):
+    from mfar_tpu.ops.scoring import fold_queries, softmax_field_weights
+
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
     )
-    def _local_topk(q_, W_, mask_, docs):
-        weights = softmax_field_weights(W_, q_, mask_)
-        weights = jnp.broadcast_to(weights, (q_.shape[0], weights.shape[-1]))
-        qflat = fold_queries(q_, weights[:, :num_dense]).astype(docs.dtype)
-        shard_id = jax.lax.axis_index(axis)
-        offset = (shard_id * shard_n).astype(jnp.int32)
-        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
-        loc_s, loc_i = local_op(
-            qflat, docs, local_valid, k=local_k, chunk_size=chunk_size
-        )
-        return loc_s, loc_i + offset
-
-    q, W, mask = _replicate(mesh, q, W, mask)
-    cand_s, cand_i = _local_topk(q, W, mask, docs_flat)
-    kk = min(k, cand_s.shape[1])
-
-    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    def _merge(cs, ci):
-        top_s, sel = jax.lax.top_k(cs, kk)
-        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
-
-    return _merge(cand_s, cand_i)
-
-
-def distributed_fused_hybrid_topk_postings(
-    mesh,
-    q: jax.Array,  # [B, E] query embeddings
-    W: jax.Array,  # mixer weight (all F fields, dense first)
-    mask: jax.Array,  # [F] ablation mask (ones when unmasked; traced arg)
-    docs_flat: jax.Array,  # [N, Fd*E] sharded P(axis)
-    post_ids: jax.Array,  # [B, M] i32 global doc ids (0-padded)
-    post_vals: jax.Array,  # [B, M] f32 RAW impacts (0-padded)
-    post_field: jax.Array,  # [B, M] i32 sparse-field index per posting
-    valid_n: int,
-    num_dense: int,
-    k: int,
-    chunk_size: int = 131072,
-    axis: AxisSpec = DATA_AXIS,
-    query_axis: Optional[str] = None,
-) -> Tuple[jax.Array, jax.Array]:
-    """Mesh twin of
-    :func:`mfar_tpu.ops.scoring.fused_hybrid_topk_postings_from_query`:
-    RAW impacts ship from the host (multi-host safe -- no device-committed
-    premultiplied tensors), each posting picks up its field's softmax
-    weight in-program, and each shard scatter-adds the postings landing in
-    its row range before the fused hybrid scan."""
-    from mfar_tpu.ops.scoring import (
-        fold_queries,
-        hybrid_topk_chunked,
-        softmax_field_weights,
-    )
-
-    n = docs_flat.shape[0]
-    n_shards = _axis_size(mesh, axis)
-    shard_n = n // n_shards
-    local_k = min(k, shard_n)
-    chunk_size = max(min(chunk_size, shard_n), local_k)
 
     @partial(
         jax.shard_map,
@@ -663,17 +710,44 @@ def distributed_fused_hybrid_topk_postings(
         )
         return loc_s, loc_i + offset
 
-    q, W, mask, post_ids, post_vals, post_field = _replicate(
-        mesh, q, W, mask, post_ids, post_vals, post_field
-    )
-    cand_s, cand_i = _local_topk(
-        q, W, mask, docs_flat, post_ids, post_vals, post_field
-    )
-    kk = min(k, cand_s.shape[1])
+    merge = _make_merge(mesh, k, kk=min(k, n_shards * local_k))
 
-    @partial(jax.jit, out_shardings=NamedSharding(mesh, P()))
-    def _merge(cs, ci):
-        top_s, sel = jax.lax.top_k(cs, kk)
-        return _pad_topk(top_s, jnp.take_along_axis(ci, sel, axis=1), k)
+    def run(q, W, mask, docs_flat, post_ids, post_vals, post_field):
+        q, W, mask, post_ids, post_vals, post_field = _replicate(
+            mesh, q, W, mask, post_ids, post_vals, post_field
+        )
+        return merge(
+            *_local_topk(q, W, mask, docs_flat, post_ids, post_vals,
+                         post_field)
+        )
 
-    return _merge(cand_s, cand_i)
+    return run
+
+
+def distributed_fused_hybrid_topk_postings(
+    mesh,
+    q: jax.Array,  # [B, E] query embeddings
+    W: jax.Array,  # mixer weight (all F fields, dense first)
+    mask: jax.Array,  # [F] ablation mask (ones when unmasked; traced arg)
+    docs_flat: jax.Array,  # [N, Fd*E] sharded P(axis)
+    post_ids: jax.Array,  # [B, M] i32 global doc ids (0-padded)
+    post_vals: jax.Array,  # [B, M] f32 RAW impacts (0-padded)
+    post_field: jax.Array,  # [B, M] i32 sparse-field index per posting
+    valid_n: int,
+    num_dense: int,
+    k: int,
+    chunk_size: int = 131072,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mesh twin of
+    :func:`mfar_tpu.ops.scoring.fused_hybrid_topk_postings_from_query`:
+    RAW impacts ship from the host (multi-host safe -- no device-committed
+    premultiplied tensors), each posting picks up its field's softmax
+    weight in-program, and each shard scatter-adds the postings landing in
+    its row range before the fused hybrid scan."""
+    run = _build_fused_hybrid_topk_postings(
+        mesh, docs_flat.shape[0], int(valid_n), int(num_dense), k,
+        chunk_size, axis, query_axis,
+    )
+    return run(q, W, mask, docs_flat, post_ids, post_vals, post_field)

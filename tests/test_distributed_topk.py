@@ -337,3 +337,33 @@ def test_distributed_int8_matches_single_chip(mesh, rng):
     deq = (dq.astype(np.float32) * ds[:, None]).reshape(n, f, e)
     want = np.einsum("be,bcfe->bcf", q, deq[cand])
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+
+def test_distributed_builders_cached_across_calls(mesh, data):
+    """Serving calls a distributed_* function once per batch: the shard_map
+    body and merge jit must be built ONCE per configuration, not per call
+    (a fresh closure per call re-traces -- and on a real backend recompiles
+    -- the whole per-shard scan every batch)."""
+    from mfar_tpu.parallel import topk as tk
+
+    q, docs, W, docs_flat_sharded, _, valid_n = data
+    weights = softmax_field_weights(jnp.asarray(W), jnp.asarray(q))
+    qflat = fold_queries(jnp.asarray(q), weights)
+
+    tk._build_dense_topk.cache_clear()
+    for _ in range(3):
+        distributed_dense_topk(
+            mesh, qflat, docs_flat_sharded, valid_n, k=5, chunk_size=32
+        )
+    info = tk._build_dense_topk.cache_info()
+    assert info.misses == 1 and info.hits == 2
+
+    tk._build_fused_dense_topk.cache_clear()
+    mask = jnp.ones((F,), jnp.float32)
+    for _ in range(3):
+        tk.distributed_fused_dense_topk(
+            mesh, jnp.asarray(q), jnp.asarray(W), mask, docs_flat_sharded,
+            valid_n, num_dense=F, k=5, chunk_size=32,
+        )
+    info = tk._build_fused_dense_topk.cache_info()
+    assert info.misses == 1 and info.hits == 2
