@@ -1,0 +1,59 @@
+#!/bin/bash
+# One-shot TPU measurement campaign: the full BENCH_NOTES.md round-3
+# checklist, one configuration per process (the relay wedges if a process
+# dies mid-compile -- see BENCH_NOTES.md "Timing"), each inside its own
+# timeout, results appended to benchmarks/results_r3.log.
+#
+# Usage: bash benchmarks/run_all.sh            # probe, then run everything
+#        bash benchmarks/run_all.sh --no-probe # skip the probe (relay known up)
+#
+# Sized so the whole campaign finishes in ~35 min of relay time; each
+# section is independent -- a failure or timeout moves on to the next.
+set -u
+cd "$(dirname "$0")/.."
+LOG=benchmarks/results_r3.log
+stamp() { date +"%Y-%m-%d %H:%M:%S"; }
+say() { echo "[$(stamp)] $*" | tee -a "$LOG"; }
+
+if [ "${1:-}" != "--no-probe" ]; then
+  say "probe: tiny matmul (180s budget)"
+  if ! timeout 180 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((128,128), jnp.bfloat16)
+print('PROBE_OK', float((x@x).sum()), jax.devices()[0].platform)" 2>&1 | tee -a "$LOG" | grep -q PROBE_OK; then
+    say "probe FAILED -- relay down, aborting campaign"
+    exit 1
+  fi
+fi
+
+run() {  # run <name> <timeout_s> <cmd...>
+  local name=$1 t=$2; shift 2
+  say "=== $name (timeout ${t}s): $*"
+  timeout "$t" "$@" 2>&1 | tail -25 | tee -a "$LOG"
+  local rc=${PIPESTATUS[0]}
+  say "=== $name done rc=$rc"
+  if [ "$rc" = "124" ]; then
+    say "TIMEOUT fired: relay may be wedged; sleeping 180s + reprobing"
+    sleep 180
+    timeout 180 python -c "
+import jax, jax.numpy as jnp
+print('REPROBE_OK', float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))" \
+      2>&1 | tail -2 | tee -a "$LOG"
+  fi
+}
+
+# 1. The driver bench: every claim in one JSON line (headline + extras).
+run bench 1500 python bench.py
+
+# 2. Engine end-to-end breakdowns at production shapes.
+run engine_dense_b256 900 python benchmarks/exp_engine.py dense 1048576 256
+run engine_hybrid_b64 900 python benchmarks/exp_engine.py hybrid 1048576 64
+run engine_hybrid_b256 900 python benchmarks/exp_engine.py hybrid 1048576 256
+
+# 3. Op-level: the B=512 row-block path (round-2 cliff fix).
+run topk_b512 600 python benchmarks/exp_topk.py 512 256
+
+# 4. Train step with the recommended flags (726 ms/step claimed).
+run train_step 900 python benchmarks/exp_train_step.py bf16sm
+
+say "campaign complete -- results in $LOG"
