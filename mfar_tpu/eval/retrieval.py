@@ -915,6 +915,17 @@ class RetrievalEngine:
         chunks = [
             list(queries[s : s + batch_size]) for s in range(0, len(queries), batch_size)
         ]
+        # Pad a ragged tail chunk to batch_size (repeating its last query):
+        # a new batch shape would trace -- and on TPU remotely recompile,
+        # ~20-40 s -- every serving program for one tail batch, while
+        # scoring the duplicates in the already-compiled program is
+        # microseconds of device time.  Single-chunk calls stay unpadded
+        # (there is no compiled batch_size program to reuse, and a small
+        # B compiles faster).  The duplicate results are sliced off below.
+        if len(chunks) > 1 and len(chunks[-1]) < batch_size:
+            chunks[-1] = chunks[-1] + [chunks[-1][-1]] * (
+                batch_size - len(chunks[-1])
+            )
         out: List[List[Tuple[str, float]]] = []
         if mode == "rerank":
             # One-batch dispatch-ahead: batch i+1's recall scans run on
@@ -929,7 +940,7 @@ class RetrievalEngine:
                 pend = st
             if pend is not None:
                 out.extend(self._rerank_finish(pend, top_k))
-            return out
+            return out[: len(queries)]
         pending: List[Any] = []
         for chunk in chunks:
             pending.append(self._dispatch_exact(chunk, top_k))
@@ -937,7 +948,7 @@ class RetrievalEngine:
                 out.extend(self._finish_exact(pending.pop(0)))
         for d in pending:
             out.extend(self._finish_exact(d))
-        return out
+        return out[: len(queries)]
 
     def retrieve(
         self, queries: Sequence[str], top_k: int = 100, mode: Optional[str] = None

@@ -176,6 +176,31 @@ def test_retrieve_many_matches_per_batch(world, mode):
         )
 
 
+def test_retrieve_many_pads_ragged_tail_batch(world):
+    """A ragged tail chunk must be padded up to batch_size so every batch
+    hits the SAME compiled program (a new batch shape re-traces -- and on
+    TPU remotely recompiles, ~20-40 s -- the whole serving program for one
+    tail batch); single-chunk calls stay unpadded."""
+    w = world
+    eng = make_engine(w)
+    seen = []
+    orig = eng.encode_queries
+
+    def spy(queries):
+        seen.append(len(queries))
+        return orig(queries)
+
+    eng.encode_queries = spy
+    queries = list(w["queries"].values())  # 10 queries, batch 4 -> 4+4+4pad
+    many = eng.retrieve_many(queries, top_k=5, mode="exact", batch_size=4)
+    assert seen == [4, 4, 4]
+    assert len(many) == len(queries)
+
+    seen.clear()
+    eng.retrieve_many(queries[:3], top_k=5, mode="exact", batch_size=4)
+    assert seen == [3]  # single ragged chunk: nothing to reuse, no padding
+
+
 def test_retrieve_many_sparse_only(world):
     w = world
     field_info = resolve_fields("title_sparse", "amazon")
