@@ -417,6 +417,15 @@ class RetrievalEngine:
         fidx = np.concatenate(
             [np.full(i.shape, s_i, np.int32) for i, _, s_i in per_field], axis=1
         )
+        # Re-bucket the concatenated width: per-field widths are bucketed
+        # (bm25.get_postings_batch), but their SUM varies per field combo
+        # and would recompile the fused serving program per batch.
+        from mfar_tpu.native import bucket_width
+
+        pad = bucket_width(ids.shape[1]) - ids.shape[1]
+        if pad:
+            wide = ((0, 0), (0, pad))
+            ids, vals, fidx = (np.pad(a, wide) for a in (ids, vals, fidx))
         return ids.astype(np.int32), vals.astype(np.float32), fidx
 
     def _sparse_postings_combined(
@@ -457,6 +466,14 @@ class RetrievalEngine:
             ],
             axis=1,
         )
+        # Re-bucket the concatenated width (see _sparse_postings_raw); vals
+        # lives on device, so its zero-pad is a (tiny) device op.
+        from mfar_tpu.native import bucket_width
+
+        pad = bucket_width(ids.shape[1]) - ids.shape[1]
+        if pad:
+            ids = np.pad(ids, ((0, 0), (0, pad)))
+            vals = jnp.pad(vals, ((0, 0), (0, pad)))
         return ids, vals
 
     def retrieve_exact(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:

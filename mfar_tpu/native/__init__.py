@@ -20,6 +20,20 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "libmfar_native.so")
 _lib = None
 
 
+def bucket_width(m: int, base: int = 128) -> int:
+    """Round a postings width up to the next power-of-two multiple of
+    ``base``.  Postings tensors feed jitted serving programs, and every
+    DISTINCT width traces (and on TPU remotely recompiles, ~20-40 s) a new
+    program; batch-max padding alone makes nearly every real-query batch a
+    new width.  Geometric buckets bound the number of compiled programs to
+    ~log2 of the width range (~16 ever) at <=2x zero-padding on an O(nnz)
+    transfer."""
+    w = base
+    while w < m:
+        w *= 2
+    return w
+
+
 def load_library():
     global _lib
     if _lib is not None:
@@ -203,7 +217,7 @@ class NativeBM25:
             sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n_threads,
         )
         m = int(sizes.max()) if b else 0
-        m = max(((m + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple)
+        m = bucket_width(m, pad_multiple)
         ids = np.zeros((b, m), np.int32)
         vals = np.zeros((b, m), np.float32)
         self._lib.mfar_bm25_postings_batch_fill(

@@ -173,8 +173,10 @@ class BM25Index:
         self, queries: Sequence[str], pad_multiple: int = 128
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Concatenated query-term postings: (doc_ids [B, M] i32,
-        impacts [B, M] f32), zero-padded to the batch max (rounded up to
-        ``pad_multiple`` for static device shapes).
+        impacts [B, M] f32), zero-padded to the batch max rounded up to a
+        power-of-two multiple of ``pad_multiple``
+        (:func:`mfar_tpu.native.bucket_width`: a DISTINCT width per batch
+        would recompile the jitted serving consumers every batch).
 
         A document hit by several query terms appears once per term -- the
         consumer scatter-ADDS, so duplicates sum exactly like the dense
@@ -203,7 +205,9 @@ class BM25Index:
                     vals = np.zeros(0, np.float32)
             per_q.append((ids, vals))
         m = max((len(i) for i, _ in per_q), default=0)
-        m = max(((m + pad_multiple - 1) // pad_multiple) * pad_multiple, pad_multiple)
+        from mfar_tpu.native import bucket_width
+
+        m = bucket_width(m, pad_multiple)
         out_ids = np.zeros((len(queries), m), np.int32)
         out_vals = np.zeros((len(queries), m), np.float32)
         for qi, (ids, vals) in enumerate(per_q):

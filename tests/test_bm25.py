@@ -48,6 +48,26 @@ def test_scores_match_naive_formula(index):
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
+def test_postings_width_uses_geometric_buckets(index):
+    """Postings widths must land on power-of-two multiples of the base:
+    a distinct batch-max width per batch would recompile the jitted
+    serving consumers (the fused hybrid program) every batch."""
+    from mfar_tpu.native import bucket_width
+
+    assert bucket_width(0) == 128
+    assert bucket_width(128) == 128
+    assert bucket_width(129) == 256
+    assert bucket_width(1000) == 1024
+    assert bucket_width(7, base=4) == 8
+
+    # Different query mixes with nearby nnz must share one bucketed width.
+    w1 = index.get_postings_batch(["red shoe"], pad_multiple=4)[0].shape[1]
+    w2 = index.get_postings_batch(["red shoe", "red lamp"], pad_multiple=4)[0].shape[1]
+    for w in (w1, w2):
+        assert w % 4 == 0 and (w // 4) & (w // 4 - 1) == 0  # pow2 multiple
+    assert w1 == w2
+
+
 def test_postings_batch_scatter_equals_dense_scores(index):
     """get_postings_batch (the device-densification feed for exact hybrid)
     must scatter-add back to exactly the dense score vectors, duplicates and
