@@ -832,8 +832,14 @@ class RetrievalEngine:
             for i in range(b):  # -inf hits = shard/corpus padding, drop
                 cand_sets[i].update(int(x) for x in idx[i][np.isfinite(s[i])])
 
-        # static-width candidate matrix (padded; pad entries masked out)
-        width = _round_up(max(max(len(s) for s in cand_sets), 1), 128)
+        # static-width candidate matrix (padded; pad entries masked out).
+        # Geometric bucket, not batch-max: a distinct width per batch would
+        # recompile the stage-2 candidate-scoring program every batch
+        # (union size varies with every query mix; buckets cap it at ~4
+        # programs for realistic recall_k * field counts).
+        from mfar_tpu.native import bucket_width
+
+        width = bucket_width(max(max(len(s) for s in cand_sets), 1), 128)
         cand = np.zeros((b, width), np.int64)
         valid = np.zeros((b, width), bool)
         for i, s in enumerate(cand_sets):
