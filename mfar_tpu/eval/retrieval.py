@@ -752,7 +752,10 @@ class RetrievalEngine:
         syncs per batch, serial)."""
         b = len(queries)
         q = self.encode_queries(queries)
-        cand_sets: List[set] = [set() for _ in range(b)]
+        # Per-query candidate row-id ARRAYS (unioned with np.unique at
+        # finish): python sets cost ~1 us per element-add on the 1-vCPU
+        # host -- b * recall_k * n_fields adds per batch.
+        cand_lists: List[List[np.ndarray]] = [[] for _ in range(b)]
         s = idx = None
         fd = k = 0
 
@@ -801,38 +804,43 @@ class RetrievalEngine:
                     q.astype(self.docs_flat.dtype), self.docs_flat,
                     jnp.int32(self.n_docs), fd, k=k, chunk_size=TOPK_CHUNK,
                 )
-        # stage 1b: sparse per-field recall on host
+        # stage 1b: sparse per-field recall on host (unordered row ids; the
+        # union below only needs membership)
         cleaned = [clean_query(t) for t in queries]
         for fk in self.sparse_keys:
             index = self.sparse_indices[fk]
             rm = self._sparse_row_map.get(fk)
-            hits = index.retrieve_batch(cleaned, top_k=min(self.recall_k, self.n_docs))
-            for i, per_q in enumerate(hits):
-                for key, _ in per_q:
-                    row = index.key_to_id[key]
-                    if rm is not None:
-                        row = int(rm[row])
-                        if row < 0:  # doc absent from the corpus
-                            continue
-                    cand_sets[i].add(row)
+            hits = index.retrieve_rows_batch(
+                cleaned, top_k=min(self.recall_k, self.n_docs)
+            )
+            for i, rows in enumerate(hits):
+                if rm is not None:  # prebuilt index with different doc set
+                    rows = rm[rows]
+                    rows = rows[rows >= 0]  # docs absent from the corpus
+                cand_lists[i].append(rows)
 
         return dict(
             b=b, q=q, s=s, idx=idx, fd=fd, k=k,
-            cand_sets=cand_sets, cleaned=cleaned,
+            cand_lists=cand_lists, cleaned=cleaned,
         )
 
     def _rerank_finish(self, st, top_k: int) -> List[List[Tuple[str, float]]]:
         """Finish phase: fetch the stage-1 recall, union candidates on host,
         score + rerank (stage 2), fetch results."""
         b, q, cleaned = st["b"], st["q"], st["cleaned"]
-        cand_sets = st["cand_sets"]
+        cand_lists = st["cand_lists"]
         if st["s"] is not None:
             fd, k = st["fd"], st["k"]
             s = np.asarray(st["s"]).reshape(b, fd * k)
             idx = np.asarray(st["idx"]).reshape(b, fd * k)
             for i in range(b):  # -inf hits = shard/corpus padding, drop
-                cand_sets[i].update(int(x) for x in idx[i][np.isfinite(s[i])])
+                cand_lists[i].append(idx[i][np.isfinite(s[i])].astype(np.int64))
 
+        # Per-query sorted-unique union (np.unique == sorted(set), C-speed).
+        uniq = [
+            np.unique(np.concatenate(lst)) if lst else np.zeros(0, np.int64)
+            for lst in cand_lists
+        ]
         # static-width candidate matrix (padded; pad entries masked out).
         # Geometric bucket, not batch-max: a distinct width per batch would
         # recompile the stage-2 candidate-scoring program every batch
@@ -840,11 +848,10 @@ class RetrievalEngine:
         # programs for realistic recall_k * field counts).
         from mfar_tpu.native import bucket_width
 
-        width = bucket_width(max(max(len(s) for s in cand_sets), 1), 128)
+        width = bucket_width(max(max(len(u) for u in uniq), 1), 128)
         cand = np.zeros((b, width), np.int64)
         valid = np.zeros((b, width), bool)
-        for i, s in enumerate(cand_sets):
-            ids = sorted(s)
+        for i, ids in enumerate(uniq):
             cand[i, : len(ids)] = ids
             valid[i, : len(ids)] = True
 

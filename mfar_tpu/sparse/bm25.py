@@ -247,6 +247,23 @@ class BM25Index:
             out.append([(self.keys[int(i)], float(scores[int(i)])) for i in order])
         return out
 
+    def retrieve_rows_batch(
+        self, queries: Sequence[str], top_k: int
+    ) -> List[np.ndarray]:
+        """Top-k ROW IDS per query, unordered (argpartition only, no sort,
+        no key materialization) -- the rerank recall feed, where candidates
+        are unioned so only membership matters."""
+        out = []
+        for q in queries:
+            scores = self.get_scores(q)
+            k = min(top_k, scores.shape[0])
+            if k < scores.shape[0]:
+                idx = np.argpartition(-scores, k - 1)[:k]
+            else:
+                idx = np.arange(k)
+            out.append(idx.astype(np.int64))
+        return out
+
     def score_batch(self, queries: Sequence[str], keys: Sequence[str]) -> np.ndarray:
         """[Q, C] scores restricted to candidate keys; unknown keys score 0
         (reference: mfar/data/index.py:111-118)."""
