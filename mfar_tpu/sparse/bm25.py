@@ -167,6 +167,20 @@ class BM25Index:
         return scores
 
     def get_scores_batch(self, queries: Sequence[str]) -> np.ndarray:
+        """Full-corpus score vectors [B, N].  Cache misses are scored in ONE
+        threaded native call (deduplicated) instead of a per-query loop;
+        hits come from the cache (rerank scores the same cleaned queries in
+        both stages, so stage 2 is typically all-hits)."""
+        if self.native is not None:
+            missing = list(dict.fromkeys(
+                q for q in queries if q not in self._score_cache
+            ))
+            if missing:
+                scored = self.native.get_scores_batch(missing)
+                if len(self._score_cache) + len(missing) > _SCORE_CACHE_MAX:
+                    self._score_cache.clear()
+                for q, s in zip(missing, scored):
+                    self._score_cache[q] = s
         return np.stack([self.get_scores(q) for q in queries], axis=0)
 
     def get_postings_batch(
