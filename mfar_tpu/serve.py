@@ -1,0 +1,309 @@
+"""Online serving daemon: HTTP frontend + micro-batching dispatcher.
+
+The reference has no serving story at all (retrieval exists only inside its
+Lightning test loop, SURVEY.md section 1); the batch `retrieve` CLI covers
+offline runs.  This module adds the ONLINE path a production deployment
+needs, built around how a TPU actually serves:
+
+- **Micro-batching**: concurrent requests are coalesced into one
+  fixed-shape engine batch (first request opens a window of
+  ``max_wait_ms``; the batch dispatches when ``max_batch`` queries are
+  waiting or the window closes).  One request = one device program would
+  waste the MXU (the [B, FE] x [FE, N] scan amortizes over the query
+  batch) and pay a dispatch round-trip per query.
+- **Fixed compiled shapes**: every dispatch pads to ``max_batch``, so the
+  whole serving life runs ONE compiled program per mode (~20-40 s to
+  compile on TPU -- :meth:`RetrievalServer.warmup` pays it before the
+  port opens, not on the first user request).
+- **Single dispatcher thread**: only one thread touches the engine/device;
+  HTTP threads hand queries over a queue and block on a per-request event.
+
+Endpoints:
+  POST /retrieve  {"queries": [...], "top_k"?: int}  ->
+                  {"results": [[[doc_key, score], ...], ...]}
+  GET  /healthz   liveness + device info
+  GET  /stats     request/query counters, batch fill, latency percentiles
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class _Pending:
+    __slots__ = ("queries", "top_k", "done", "results", "error", "t0")
+
+    def __init__(self, queries: List[str], top_k: Optional[int]):
+        self.queries = queries
+        self.top_k = top_k
+        self.done = threading.Event()
+        self.results: Optional[List[List[Tuple[str, float]]]] = None
+        self.error: Optional[str] = None
+        self.t0 = time.perf_counter()
+
+
+class MicroBatcher:
+    """Coalesce concurrent retrieve requests into fixed-shape engine batches.
+
+    ``top_k`` is the SERVED depth (one compiled program); per-request
+    ``top_k`` values <= it are sliced from the shared result.
+    """
+
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 64,
+        max_wait_ms: float = 5.0,
+        top_k: int = 100,
+        mode: Optional[str] = None,
+    ):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.top_k = int(top_k)
+        self.mode = mode
+        self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._stats = dict(requests=0, queries=0, batches=0, padded=0, errors=0)
+        self._latencies: List[float] = []  # ring buffer, seconds
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._started = False
+
+    # -- client side -----------------------------------------------------
+
+    def submit(
+        self, queries: Sequence[str], top_k: Optional[int] = None,
+        timeout: float = 120.0,
+    ) -> List[List[Tuple[str, float]]]:
+        """Block until the micro-batch containing these queries returns."""
+        if top_k is not None and top_k > self.top_k:
+            raise ValueError(
+                f"per-request top_k {top_k} exceeds the served depth "
+                f"{self.top_k} (one compiled program serves all requests)"
+            )
+        item = _Pending([str(q) for q in queries], top_k)
+        self._q.put(item)
+        if not item.done.wait(timeout):
+            raise TimeoutError("retrieve timed out")
+        if item.error is not None:
+            raise RuntimeError(item.error)
+        with self._lock:
+            self._stats["requests"] += 1
+            self._latencies.append(time.perf_counter() - item.t0)
+            if len(self._latencies) > 1000:
+                del self._latencies[: -1000]
+        return item.results
+
+    # -- dispatcher ------------------------------------------------------
+
+    def start(self) -> "MicroBatcher":
+        if not self._started:
+            self._started = True
+            self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        if self._started:
+            self._q.put(None)
+            self._thread.join(timeout=30)
+            self._started = False
+
+    def warmup(self) -> float:
+        """Compile + run the serving program at the dispatch shape before
+        traffic arrives; returns seconds spent."""
+        t0 = time.perf_counter()
+        self.engine.retrieve(
+            ["warmup"] * self.max_batch, top_k=self.top_k, mode=self.mode
+        )
+        return time.perf_counter() - t0
+
+    def _collect(self) -> Optional[List[_Pending]]:
+        """One micro-batch: block for the first request, then drain until
+        max_batch queries are assembled or the wait window closes."""
+        first = self._q.get()
+        if first is None:
+            return None
+        batch, n = [first], len(first.queries)
+        deadline = time.perf_counter() + self.max_wait_s
+        while n < self.max_batch:
+            left = deadline - time.perf_counter()
+            if left <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=left)
+            except queue.Empty:
+                break
+            if nxt is None:
+                self._q.put(None)  # re-deliver shutdown after this batch
+                break
+            batch.append(nxt)
+            n += len(nxt.queries)
+        return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._collect()
+            if batch is None:
+                return
+            texts: List[str] = []
+            for item in batch:
+                texts.extend(item.queries)
+            real = len(texts)
+            # Oversized single requests fall through to retrieve_many
+            # (which itself pads its tail chunk); normal batches pad to
+            # the ONE compiled shape.
+            padded = texts
+            if 0 < real < self.max_batch:
+                padded = texts + [texts[-1]] * (self.max_batch - real)
+            try:
+                if real == 0:
+                    results: List[List[Tuple[str, float]]] = []
+                elif len(padded) > self.max_batch:
+                    results = self.engine.retrieve_many(
+                        padded, top_k=self.top_k, mode=self.mode,
+                        batch_size=self.max_batch,
+                    )[:real]
+                else:
+                    results = self.engine.retrieve(
+                        padded, top_k=self.top_k, mode=self.mode
+                    )[:real]
+                with self._lock:
+                    self._stats["batches"] += 1
+                    self._stats["queries"] += real
+                    self._stats["padded"] += max(len(padded) - real, 0)
+                pos = 0
+                for item in batch:
+                    sub = results[pos : pos + len(item.queries)]
+                    if item.top_k is not None:
+                        sub = [hits[: item.top_k] for hits in sub]
+                    item.results = sub
+                    pos += len(item.queries)
+                    item.done.set()
+            except Exception as e:  # noqa: BLE001 -- report to every waiter
+                with self._lock:
+                    self._stats["errors"] += 1
+                for item in batch:
+                    item.error = f"{type(e).__name__}: {e}"
+                    item.done.set()
+
+    # -- introspection ---------------------------------------------------
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            out: Dict[str, Any] = dict(self._stats)
+            lat = np.asarray(self._latencies, np.float64)
+        out["served_top_k"] = self.top_k
+        out["max_batch"] = self.max_batch
+        if out["batches"]:
+            out["mean_batch_fill"] = round(
+                out["queries"] / (out["queries"] + out["padded"]), 4
+            )
+        if lat.size:
+            out["latency_ms_p50"] = round(float(np.percentile(lat, 50)) * 1000, 2)
+            out["latency_ms_p95"] = round(float(np.percentile(lat, 95)) * 1000, 2)
+        return out
+
+
+class RetrievalServer:
+    """ThreadingHTTPServer frontend over a :class:`MicroBatcher`."""
+
+    def __init__(
+        self,
+        engine,
+        host: str = "127.0.0.1",
+        port: int = 8080,
+        max_batch: int = 64,
+        max_wait_ms: float = 5.0,
+        top_k: int = 100,
+        mode: Optional[str] = None,
+    ):
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        self.batcher = MicroBatcher(
+            engine, max_batch=max_batch, max_wait_ms=max_wait_ms,
+            top_k=top_k, mode=mode,
+        )
+        batcher = self.batcher
+        started = time.time()
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *a):  # quiet per-request stderr lines
+                pass
+
+            def _send(self, code: int, payload: Dict[str, Any]) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    import jax
+
+                    self._send(200, {
+                        "status": "ok",
+                        "uptime_s": round(time.time() - started, 1),
+                        "backend": jax.default_backend(),
+                        "n_devices": jax.device_count(),
+                        "n_docs": batcher.engine.n_docs,
+                    })
+                elif self.path == "/stats":
+                    self._send(200, batcher.stats())
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/retrieve":
+                    self._send(404, {"error": f"unknown path {self.path}"})
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", "0"))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    queries = req["queries"]
+                    assert isinstance(queries, list) and queries, \
+                        "queries must be a non-empty list"
+                    results = batcher.submit(queries, top_k=req.get("top_k"))
+                except (ValueError, KeyError, AssertionError) as e:
+                    self._send(400, {"error": str(e)})
+                    return
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                    return
+                self._send(200, {
+                    "results": [
+                        [[k, float(s)] for k, s in hits] for hits in results
+                    ],
+                })
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host, self.port = self.httpd.server_address[:2]
+
+    def warmup(self) -> float:
+        return self.batcher.warmup()
+
+    def serve_forever(self) -> None:
+        self.batcher.start()
+        try:
+            self.httpd.serve_forever()
+        finally:
+            self.batcher.stop()
+
+    def start_background(self) -> threading.Thread:
+        """Run the server on a daemon thread (tests / embedding)."""
+        self.batcher.start()
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        return t
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self.batcher.stop()

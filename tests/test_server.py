@@ -1,0 +1,181 @@
+"""Online serving daemon: micro-batching, HTTP surface, padding contract."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.synth import make_amazon_corpus, make_queries_and_qrels
+
+from mfar_tpu.data.schema import resolve_fields
+from mfar_tpu.eval.index_build import build_dense_corpus_matrix, build_sparse_indices
+from mfar_tpu.eval.retrieval import RetrievalEngine
+from mfar_tpu.models import Encoder, EncoderConfig, SimpleVocabTokenizer
+from mfar_tpu.models.encoder import init_params
+from mfar_tpu.serve import MicroBatcher, RetrievalServer
+
+
+@pytest.fixture(scope="module")
+def world():
+    corpus = make_amazon_corpus(40)
+    queries, _ = make_queries_and_qrels(corpus, n_queries=12)
+    field_info = resolve_fields("title_dense,title_sparse", "amazon")
+    from mfar_tpu.data.format import format_documents
+
+    texts = []
+    for fk, f in field_info.items():
+        texts += [t for _, t in format_documents(corpus.pairs(), f.name, "amazon")]
+    tok = SimpleVocabTokenizer.build(texts + list(queries.values()) + ["warmup"],
+                                     max_length=64)
+    config = EncoderConfig.tiny(vocab_size=tok.vocab_size)
+    params = init_params(config)
+    model = Encoder(config)
+
+    @jax.jit
+    def encode_fn(ids, mask):
+        return model.apply({"params": params}, ids, mask)
+
+    dense_fields = {k: f for k, f in field_info.items() if f.is_dense}
+    matrix = build_dense_corpus_matrix(encode_fn, tok, corpus, dense_fields)
+    rngW = np.random.default_rng(0)
+    engine = RetrievalEngine(
+        field_info=field_info,
+        doc_keys=list(corpus.keys()),
+        encode_fn=encode_fn,
+        tokenizer=tok,
+        mixer_params={"weight": jnp.asarray(
+            rngW.normal(size=(config.hidden_size, 2)).astype(np.float32))},
+        dense_matrix=matrix,
+        sparse_indices=build_sparse_indices(corpus, field_info),
+        query_max_length=64,
+    )
+    return dict(engine=engine, queries=list(queries.values()))
+
+
+def test_microbatcher_coalesces_and_matches_engine(world):
+    """Concurrent submits must coalesce into shared dispatches and return
+    exactly what a direct engine call returns for each query."""
+    eng, queries = world["engine"], world["queries"]
+    b = MicroBatcher(eng, max_batch=8, max_wait_ms=200.0, top_k=5).start()
+    try:
+        results = [None] * 4
+        def call(i):
+            results[i] = b.submit([queries[2 * i], queries[2 * i + 1]])
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=60)
+        want = eng.retrieve(queries[:8], top_k=5)
+        got = [hit for r in results for hit in r]
+        for g, w in zip(got, want):
+            assert [k for k, _ in g] == [k for k, _ in w]
+        st = b.stats()
+        assert st["queries"] == 8 and st["requests"] == 4
+        # 8 queries into max_batch=8 with a wide window: ideally one
+        # dispatch, but thread scheduling may split it; padding accounts
+        # for any shortfall.
+        assert st["batches"] >= 1
+    finally:
+        b.stop()
+
+
+def test_microbatcher_pads_to_one_shape(world):
+    """A lone small request must be padded up to max_batch (the one
+    compiled shape) and per-request top_k sliced from the served depth."""
+    eng, queries = world["engine"], world["queries"]
+    b = MicroBatcher(eng, max_batch=8, max_wait_ms=1.0, top_k=5).start()
+    try:
+        out = b.submit([queries[0]], top_k=3)
+        assert len(out) == 1 and len(out[0]) == 3
+        st = b.stats()
+        assert st["padded"] == 7 and st["queries"] == 1
+        with pytest.raises(ValueError):
+            b.submit([queries[0]], top_k=50)  # beyond the served depth
+    finally:
+        b.stop()
+
+
+def test_microbatcher_oversized_request_routes_through_retrieve_many(world):
+    eng, queries = world["engine"], world["queries"]
+    b = MicroBatcher(eng, max_batch=4, max_wait_ms=1.0, top_k=5).start()
+    try:
+        out = b.submit(queries[:10])  # > max_batch in one request
+        want = eng.retrieve_many(queries[:10], top_k=5, batch_size=4)
+        assert [[k for k, _ in h] for h in out] == [[k for k, _ in h] for h in want]
+    finally:
+        b.stop()
+
+
+def test_http_server_end_to_end(world):
+    eng, queries = world["engine"], world["queries"]
+    srv = RetrievalServer(eng, port=0, max_batch=8, max_wait_ms=1.0, top_k=5)
+    srv.warmup()
+    srv.start_background()
+    base = f"http://{srv.host}:{srv.port}"
+    try:
+        req = urllib.request.Request(
+            base + "/retrieve",
+            data=json.dumps({"queries": queries[:3], "top_k": 4}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            payload = json.loads(r.read())
+        want = eng.retrieve(queries[:3], top_k=4)
+        assert [[k for k, _ in h] for h in payload["results"]] == [
+            [k for k, _ in h] for h in want
+        ]
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["n_docs"] == 40
+
+        with urllib.request.urlopen(base + "/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["queries"] >= 3 and "latency_ms_p50" in st
+
+        # malformed request -> 400, not a dead server
+        bad = urllib.request.Request(base + "/retrieve", data=b"{}")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad, timeout=30)
+        assert ei.value.code == 400
+    finally:
+        srv.shutdown()
+
+
+def test_serve_cli_smoke(tmp_path):
+    """The serve command builds its engine through the shared flag block
+    and opens/answers on an ephemeral port (threaded, then shut down)."""
+    from mfar_tpu.commands import serve as serve_cmd
+    from mfar_tpu.commands.common import add_data_args, add_engine_args, build_engine
+    from mfar_tpu.data.synth import write_dataset_dir
+    import argparse
+
+    d = tmp_path / "ds"
+    write_dataset_dir(str(d), make_amazon_corpus(24))
+    p = argparse.ArgumentParser()
+    add_data_args(p)
+    add_engine_args(p)
+    args = p.parse_args([
+        "--dataset-name", "amazon", "--data", str(d),
+        "--model-name", "synthetic", "--field-names", "title_dense",
+        "--mesh", "off",
+    ])
+    engine = build_engine(args, label="serve-test")
+    srv = RetrievalServer(engine, port=0, max_batch=4, max_wait_ms=1.0, top_k=5)
+    srv.start_background()
+    try:
+        req = urllib.request.Request(
+            f"http://{srv.host}:{srv.port}/retrieve",
+            data=json.dumps({"queries": ["shiny model 3"]}).encode(),
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            payload = json.loads(r.read())
+        assert payload["results"] and len(payload["results"][0]) == 5
+    finally:
+        srv.shutdown()
