@@ -55,8 +55,22 @@ def main(argv=None) -> None:
         max_wait_ms=args.max_wait_ms, top_k=args.top_k, mode=args.mode,
     )
     if not args.no_warmup:
-        dt = server.warmup()
-        print(f"[serve] warmup: compiled serving program in {dt:.1f}s")
+        # Warm with real queries when the dataset ships any: their postings
+        # widths hit the buckets real traffic will use.
+        sample = None
+        import glob
+        import os
+
+        from mfar_tpu.data import trec
+
+        for path in sorted(glob.glob(os.path.join(args.queries, "*.queries"))):
+            qs = list(trec.read_queries(path).values())
+            if qs:
+                sample = qs[: args.max_batch]
+                break
+        dt = server.warmup(sample)
+        print(f"[serve] warmup: compiled serving program in {dt:.1f}s"
+              + (" (incl. a real-query pass)" if sample else ""))
     print(f"[serve] listening on http://{server.host}:{server.port} "
           f"(max_batch={args.max_batch}, top_k={args.top_k}, "
           f"n_docs={engine.n_docs})")

@@ -114,13 +114,23 @@ class MicroBatcher:
             self._thread.join(timeout=30)
             self._started = False
 
-    def warmup(self) -> float:
+    def warmup(self, sample_queries: Optional[Sequence[str]] = None) -> float:
         """Compile + run the serving program at the dispatch shape before
-        traffic arrives; returns seconds spent."""
+        traffic arrives; returns seconds spent.
+
+        Pass ``sample_queries`` (e.g. a few real queries from the dataset)
+        for hybrid corpora: postings widths bucket geometrically
+        (``native.bucket_width``), and real traffic landing in a bigger
+        bucket than the synthetic warmup's would otherwise pay that
+        bucket's compile on a user request."""
         t0 = time.perf_counter()
         self.engine.retrieve(
             ["warmup"] * self.max_batch, top_k=self.top_k, mode=self.mode
         )
+        if sample_queries is not None and len(sample_queries) > 0:
+            sample = list(sample_queries)[: self.max_batch]
+            sample += [sample[-1]] * (self.max_batch - len(sample))
+            self.engine.retrieve(sample, top_k=self.top_k, mode=self.mode)
         return time.perf_counter() - t0
 
     def _collect(self) -> Optional[List[_Pending]]:
@@ -283,11 +293,24 @@ class RetrievalServer:
                     ],
                 })
 
-        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        class _Server(ThreadingHTTPServer):
+            daemon_threads = True
+
+            def handle_error(self, request, client_address):
+                import sys
+
+                etype = sys.exc_info()[0]
+                if etype is not None and issubclass(
+                    etype, (BrokenPipeError, ConnectionResetError)
+                ):
+                    return  # client went away (timeout/cancel): not an error
+                super().handle_error(request, client_address)
+
+        self.httpd = _Server((host, port), Handler)
         self.host, self.port = self.httpd.server_address[:2]
 
-    def warmup(self) -> float:
-        return self.batcher.warmup()
+    def warmup(self, sample_queries: Optional[Sequence[str]] = None) -> float:
+        return self.batcher.warmup(sample_queries)
 
     def serve_forever(self) -> None:
         self.batcher.start()
