@@ -1,0 +1,117 @@
+"""Online serving daemon benchmark: HTTP + micro-batching over a synthetic
+corpus.
+
+    python benchmarks/exp_server.py [N] [MAX_BATCH] [N_CLIENTS] [SECONDS]
+
+Spins the RetrievalServer on a contriever-shape engine over an N-doc
+corpus (same world as exp_engine dense), then fires N_CLIENTS closed-loop
+HTTP clients (each sends one 8-query request, waits, repeats) for SECONDS.
+Reports served QPS and request latency percentiles -- the number the batch
+engine benchmarks can't show: what the micro-batcher + HTTP frontend cost
+on top of the device scan.
+"""
+
+import json
+import sys
+import threading
+import time
+import urllib.request
+
+
+def main():
+    N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_048_576
+    MAX_BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    N_CLIENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
+    SECONDS = float(sys.argv[4]) if len(sys.argv) > 4 else 20.0
+    QUERIES_PER_REQ = 8
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mfar_tpu.data.schema import resolve_fields
+    from mfar_tpu.eval.index_build import make_encode_fn
+    from mfar_tpu.eval.retrieval import RetrievalEngine
+    from mfar_tpu.models import SimpleVocabTokenizer
+    from mfar_tpu.models.encoder import Encoder, EncoderConfig, init_params
+    from mfar_tpu.serve import RetrievalServer
+
+    rng = np.random.default_rng(0)
+    E, FD = 768, 5
+    t0 = time.perf_counter()
+    matrix = jax.random.normal(jax.random.PRNGKey(0), (N, FD * E), jnp.bfloat16)
+    matrix.block_until_ready()
+    print(f"corpus matrix (device): {time.perf_counter()-t0:.1f}s", flush=True)
+
+    words = [f"w{i}" for i in range(5000)]
+    warr = np.array(words)
+    tok = SimpleVocabTokenizer.build([" ".join(words) + " warmup"], max_length=64)
+    config = EncoderConfig(vocab_size=tok.vocab_size, remat=False)
+    encode = make_encode_fn(Encoder(config), init_params(config, seed=0))
+
+    engine = RetrievalEngine(
+        field_info=resolve_fields("all_dense", "mag"),
+        doc_keys=[str(i) for i in range(N)],
+        encode_fn=encode,
+        tokenizer=tok,
+        mixer_params={"weight": jnp.asarray(
+            rng.normal(size=(E, FD)).astype(np.float32))},
+        dense_matrix=matrix,
+        query_max_length=64,
+        recall_k=100,
+    )
+    srv = RetrievalServer(engine, port=0, max_batch=MAX_BATCH,
+                          max_wait_ms=5.0, top_k=100)
+    t0 = time.perf_counter()
+    srv.warmup()
+    print(f"warmup: {time.perf_counter()-t0:.1f}s", flush=True)
+    srv.start_background()
+    base = f"http://{srv.host}:{srv.port}"
+
+    stop = threading.Event()
+    counts = [0] * N_CLIENTS
+    lats: list = [[] for _ in range(N_CLIENTS)]
+
+    def client(ci: int):
+        qrng = np.random.default_rng(ci)
+        while not stop.is_set():
+            qs = [" ".join(warr[qrng.integers(0, 5000, size=8)])
+                  for _ in range(QUERIES_PER_REQ)]
+            req = urllib.request.Request(
+                base + "/retrieve",
+                data=json.dumps({"queries": qs, "top_k": 100}).encode(),
+            )
+            t1 = time.perf_counter()
+            with urllib.request.urlopen(req, timeout=300) as r:
+                json.loads(r.read())
+            lats[ci].append(time.perf_counter() - t1)
+            counts[ci] += QUERIES_PER_REQ
+
+    threads = [threading.Thread(target=client, args=(i,), daemon=True)
+               for i in range(N_CLIENTS)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    time.sleep(SECONDS)
+    stop.set()
+    for t in threads:
+        t.join(timeout=300)
+    dt = time.perf_counter() - t0
+
+    total = sum(counts)
+    import numpy as np2
+    all_lats = np2.asarray([x for l in lats for x in l])
+    print(json.dumps({
+        "served_qps": round(total / dt, 1),
+        "n_queries": total,
+        "seconds": round(dt, 1),
+        "latency_ms_p50": round(float(np2.percentile(all_lats, 50)) * 1000, 1),
+        "latency_ms_p95": round(float(np2.percentile(all_lats, 95)) * 1000, 1),
+        "server_stats": srv.batcher.stats(),
+    }), flush=True)
+    srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,9 @@ run engine_hybrid_b256 900 python benchmarks/exp_engine.py hybrid 1048576 256
 # 3. Op-level: the B=512 row-block path (round-2 cliff fix).
 run topk_b512 600 python benchmarks/exp_topk.py 512 256
 
+# 3b. Online daemon: HTTP + micro-batching on top of the device scan.
+run server_n1m 900 python benchmarks/exp_server.py 1048576 256 64 30
+
 # 4. Train step with the recommended flags (726 ms/step claimed).
 run train_step 900 python benchmarks/exp_train_step.py bf16sm
 
