@@ -85,6 +85,42 @@ def op_qps(docs, b: int, q_batches: int) -> float:
     return q_batches * b / min(times)
 
 
+def op_qps_int8(docs, b: int, q_batches: int) -> float:
+    """int8 twin of :func:`op_qps`: quantized corpus (half the HBM), int8
+    MXU scan (v5e peaks ~2x the bf16 rate).  Quantizes the bf16 corpus on
+    device once; selection stays the PartialReduce."""
+    import jax
+    import jax.numpy as jnp
+
+    from mfar_tpu.ops.scoring import (
+        dense_topk_chunked_approx_int8,
+        quantize_rows_int8,
+    )
+
+    docs_q, scales = jax.jit(quantize_rows_int8)(docs)
+    docs_q.block_until_ready()
+    qs = jax.random.normal(jax.random.PRNGKey(1), (q_batches, b, F * E), jnp.bfloat16)
+
+    @jax.jit
+    def run_all(qs, dq, ds):
+        def step(_, q):
+            s, i = dense_topk_chunked_approx_int8(
+                q, dq, ds, jnp.int32(N), k=K, chunk_size=CHUNK
+            )
+            return None, s[:, 0].sum() + i[:, 0].max().astype(jnp.float32)
+
+        _, outs = jax.lax.scan(step, None, qs)
+        return outs.sum()
+
+    float(run_all(qs, docs_q, scales))  # compile + warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(run_all(qs, docs_q, scales))
+        times.append(time.perf_counter() - t0)
+    return q_batches * b / min(times)
+
+
 def baseline_qps() -> float:
     """Reference algorithm on this host: torch CPU matmul + topk over a
     corpus slice, scaled linearly to N rows."""
@@ -336,6 +372,7 @@ def main():
     if not os.environ.get("MFAR_BENCH_FAST"):
         world = engine_world(docs)
         section("topk_b512_qps", lambda: op_qps(docs, 512, 16))
+        section("topk_int8_qps", lambda: op_qps_int8(docs, B, Q))
         dense_engine = []
         def get_dense():
             if not dense_engine:

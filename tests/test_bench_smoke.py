@@ -21,6 +21,7 @@ def tiny_bench(monkeypatch):
 def test_op_and_baseline():
     docs = bench.make_docs()
     assert bench.op_qps(docs, 8, 2) > 0
+    assert bench.op_qps_int8(docs, 8, 2) > 0
     assert bench.baseline_qps() > 0
 
 
