@@ -348,8 +348,14 @@ def main():
     # headline JSON line must always print).
     budget = float(os.environ.get("MFAR_BENCH_BUDGET", "420"))
 
-    def section(name, fn):
-        if time.perf_counter() - start > budget:
+    def section(name, fn, always=False):
+        # ``always``: exempt from the budget gate -- train_step_ms must run
+        # last (the step wants ~15.75 of 16 GB HBM, so the 7.4 GB corpus is
+        # freed first) yet is a headline training claim; the gate would
+        # silently drop exactly that number whenever the engine sections ran
+        # long.  Worst-case runtime stays bounded: budget + one train-step
+        # section (~3 min).
+        if not always and time.perf_counter() - start > budget:
             print(f"[bench] {name} SKIPPED (budget)", file=sys.stderr, flush=True)
             return
         try:
@@ -403,7 +409,7 @@ def main():
         section("index_build_docs_per_s", lambda: index_build_docs_per_s(world))
         hybrid_engine.clear()
         del docs
-        section("train_step_ms", train_step_ms)
+        section("train_step_ms", train_step_ms, always=True)
 
     emit(qps, base, extra)
 
