@@ -368,6 +368,9 @@ def main():
             print(f"[bench] {name} FAILED: {e}", file=sys.stderr, flush=True)
 
     try:
+        from mfar_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+        _enable_compile_cache()
         docs = make_docs()
         qps = op_qps(docs, B, Q)
         base = baseline_qps()

@@ -41,6 +41,10 @@ def main(argv=None) -> None:
     p.add_argument("--mesh", default="auto", choices=["auto", "off"],
                    help="auto: shard encode batches over all visible chips")
     args = p.parse_args(normalize_argv(argv))
+    from mfar_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
+
     resolve_data_dirs(args)
 
     field_info = resolve_fields(args.field_names, args.dataset_name)

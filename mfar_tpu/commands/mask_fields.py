@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(normalize_argv(argv))
+    from mfar_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
+
     from mfar_tpu.parallel import multihost
 
     if multihost.maybe_initialize(args.multihost):

@@ -35,6 +35,9 @@ def main(argv=None) -> None:
     p.add_argument("--multihost", default="auto", choices=["auto", "off", "force", "pod"],
                    help="multi-process runtime (jax.distributed); see train --multihost")
     args = p.parse_args(normalize_argv(argv))
+    from mfar_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
     from mfar_tpu.parallel import multihost
 
     if multihost.maybe_initialize(args.multihost):

@@ -39,6 +39,9 @@ def main(argv=None) -> None:
                    help="skip compiling the serving program before the port "
                         "opens (first request then pays the ~20-40 s compile)")
     args = p.parse_args(normalize_argv(argv))
+    from mfar_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
 
     from mfar_tpu.parallel import multihost
 

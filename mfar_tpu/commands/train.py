@@ -148,6 +148,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> None:
     args = build_parser().parse_args(normalize_argv(argv))
+    from mfar_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+    _enable_compile_cache()
+
     # Before anything queries devices: a multi-process run must wire the
     # global mesh first (the reference's Lightning-DDP-spawns-processes
     # posture, reference mfar/commands/train.py:246-250).

@@ -13,6 +13,9 @@ import os
 # route every test compile through the TPU tunnel.  Belt and braces: set the
 # env var AND update the config after import.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic tests: command mains enable the persistent XLA compilation
+# cache; don't write cache entries into $HOME from the suite.
+os.environ.setdefault("MFAR_COMPILE_CACHE", "off")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
