@@ -89,6 +89,46 @@ def main():
     print(f"engine_{mode}_qps N={N} B={B}: {B/dt:.0f} qps ({dt*1000:.0f} ms/batch)",
           flush=True)
 
+    # Pipelined path (what the retrieve CLI runs): window-4 dispatch-ahead
+    # hides the per-batch fetch round-trip + next batch's host prep.
+    many_q = queries * 4
+    engine.retrieve_many(many_q, top_k=100, batch_size=B)  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        engine.retrieve_many(many_q, top_k=100, batch_size=B)
+        times.append(time.perf_counter() - t0)
+    dtp = min(times)
+    print(f"engine_{mode}_pipelined_qps N={N} B={B}: {len(many_q)/dtp:.0f} qps",
+          flush=True)
+
+    # Dispatch-side overhead accounting (each region timed separately,
+    # relay-safe: device regions end in one tiny host fetch).
+    import json
+
+    from mfar_tpu.train.data_pipeline import clean_query
+
+    cleaned = [clean_query(q) for q in queries]
+
+    def best(f, reps=3):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            f()
+            ts.append(time.perf_counter() - t0)
+        return min(ts) * 1000
+
+    tok_ms = best(lambda: tok.encode_batch(cleaned, 64))
+    enc_ms = best(lambda: float(engine.encode_queries(queries).sum()))
+    parts = {"tokenize_host": tok_ms, "encode_plus_fetch": enc_ms}
+    if mode == "hybrid":
+        bm = sparse_indices["title_sparse"]
+        parts["postings_host"] = best(lambda: bm.get_postings_batch(cleaned))
+    parts["dispatch_host"] = best(lambda: engine._dispatch_exact(queries, 100))
+    parts["e2e_batch"] = dt * 1000
+    print("breakdown ms/batch: "
+          + json.dumps({k: round(v, 1) for k, v in parts.items()}), flush=True)
+
 
 if __name__ == "__main__":
     main()
