@@ -11,74 +11,22 @@ synthetic N-doc corpus (bf16 on device).  Hybrid adds one BM25 sparse field
 import sys
 import time
 
-import numpy as np
-
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "dense"
     N = int(sys.argv[2]) if len(sys.argv) > 2 else 1_048_576
     B = int(sys.argv[3]) if len(sys.argv) > 3 else 256
 
-    import jax
-    import jax.numpy as jnp
+    import os
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_engine import make_world, random_queries
 
+    world = make_world(N, hybrid=(mode == "hybrid"))
+    engine, tok = world["engine"], world["tok"]
+    sparse_indices = world["sparse_indices"]
+    queries = random_queries(world, B)
 
-    from mfar_tpu.data.schema import resolve_fields
-    from mfar_tpu.eval.index_build import make_encode_fn
-    from mfar_tpu.eval.retrieval import RetrievalEngine
-    from mfar_tpu.models import SimpleVocabTokenizer
-    from mfar_tpu.models.encoder import Encoder, EncoderConfig, init_params
-
-    rng = np.random.default_rng(0)
-    E, FD = 768, 5
-    t0 = time.perf_counter()
-    # Generated ON DEVICE: host-side generation of 4B floats takes ~3 min on
-    # this 1-vCPU host and the 8 GB H2D rides the relay.  The engine accepts
-    # a chunk-aligned jnp matrix directly (no pad -> no host round-trip).
-    matrix = jax.random.normal(jax.random.PRNGKey(0), (N, FD * E), jnp.bfloat16)
-    matrix.block_until_ready()
-    print(f"corpus matrix (device): {time.perf_counter()-t0:.1f}s", flush=True)
-
-    words = [f"w{i}" for i in range(5000)]
-    warr = np.array(words)
-    queries = [" ".join(warr[rng.integers(0, 5000, size=8)]) for _ in range(B)]
-    tok = SimpleVocabTokenizer.build([" ".join(words)], max_length=64)
-
-    config = EncoderConfig(vocab_size=tok.vocab_size, remat=False)
-    params = init_params(config, seed=0)
-    encode = make_encode_fn(Encoder(config), params)
-
-    # mag's 5 fields, dense variants (the paper's mag all_dense config)
-    field_info = resolve_fields("all_dense", "mag")
-    sparse_indices = {}
-    n_fields = FD
-    if mode == "hybrid":
-        field_info = resolve_fields("all_dense,title_sparse", "mag")
-        from mfar_tpu.sparse.bm25 import BM25Index
-
-        t0 = time.perf_counter()
-        texts = [" ".join(warr[rng.integers(0, 5000, size=8)]) for _ in range(N)]
-        sparse_indices = {"title_sparse": BM25Index.create(
-            [(str(i), t) for i, t in enumerate(texts)])}
-        print(f"bm25 build ({N}): {time.perf_counter()-t0:.1f}s", flush=True)
-        n_fields = FD + 1
-
-    t0 = time.perf_counter()
-    engine = RetrievalEngine(
-        field_info=field_info,
-        doc_keys=[str(i) for i in range(N)],
-        encode_fn=encode,
-        tokenizer=tok,
-        mixer_params={"weight": jnp.asarray(
-            rng.normal(size=(E, n_fields)).astype(np.float32))},
-        dense_matrix=matrix,
-        sparse_indices=sparse_indices,
-        query_max_length=64,
-        mode="exact",
-    )
-    print(f"engine build (incl H2D): {time.perf_counter()-t0:.1f}s", flush=True)
-
-    r = engine.retrieve(queries, top_k=100)  # compile + warm
+    engine.retrieve(queries, top_k=100)  # compile + warm
     print("warm done", flush=True)
     times = []
     for _ in range(3):

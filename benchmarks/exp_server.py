@@ -25,42 +25,16 @@ def main():
     SECONDS = float(sys.argv[4]) if len(sys.argv) > 4 else 20.0
     QUERIES_PER_REQ = 8
 
-    import numpy as np
+    import os
 
-    import jax
-    import jax.numpy as jnp
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth_engine import make_world
 
-    from mfar_tpu.data.schema import resolve_fields
-    from mfar_tpu.eval.index_build import make_encode_fn
-    from mfar_tpu.eval.retrieval import RetrievalEngine
-    from mfar_tpu.models import SimpleVocabTokenizer
-    from mfar_tpu.models.encoder import Encoder, EncoderConfig, init_params
     from mfar_tpu.serve import RetrievalServer
 
-    rng = np.random.default_rng(0)
-    E, FD = 768, 5
-    t0 = time.perf_counter()
-    matrix = jax.random.normal(jax.random.PRNGKey(0), (N, FD * E), jnp.bfloat16)
-    matrix.block_until_ready()
-    print(f"corpus matrix (device): {time.perf_counter()-t0:.1f}s", flush=True)
+    world = make_world(N)
+    engine, warr = world["engine"], world["warr"]
 
-    words = [f"w{i}" for i in range(5000)]
-    warr = np.array(words)
-    tok = SimpleVocabTokenizer.build([" ".join(words) + " warmup"], max_length=64)
-    config = EncoderConfig(vocab_size=tok.vocab_size, remat=False)
-    encode = make_encode_fn(Encoder(config), init_params(config, seed=0))
-
-    engine = RetrievalEngine(
-        field_info=resolve_fields("all_dense", "mag"),
-        doc_keys=[str(i) for i in range(N)],
-        encode_fn=encode,
-        tokenizer=tok,
-        mixer_params={"weight": jnp.asarray(
-            rng.normal(size=(E, FD)).astype(np.float32))},
-        dense_matrix=matrix,
-        query_max_length=64,
-        recall_k=100,
-    )
     srv = RetrievalServer(engine, port=0, max_batch=MAX_BATCH,
                           max_wait_ms=5.0, top_k=100)
     t0 = time.perf_counter()
@@ -72,6 +46,8 @@ def main():
     stop = threading.Event()
     counts = [0] * N_CLIENTS
     lats: list = [[] for _ in range(N_CLIENTS)]
+
+    import numpy as np
 
     def client(ci: int):
         qrng = np.random.default_rng(ci)
@@ -100,14 +76,13 @@ def main():
     dt = time.perf_counter() - t0
 
     total = sum(counts)
-    import numpy as np2
-    all_lats = np2.asarray([x for l in lats for x in l])
+    all_lats = np.asarray([x for l in lats for x in l])
     print(json.dumps({
         "served_qps": round(total / dt, 1),
         "n_queries": total,
         "seconds": round(dt, 1),
-        "latency_ms_p50": round(float(np2.percentile(all_lats, 50)) * 1000, 1),
-        "latency_ms_p95": round(float(np2.percentile(all_lats, 95)) * 1000, 1),
+        "latency_ms_p50": round(float(np.percentile(all_lats, 50)) * 1000, 1),
+        "latency_ms_p95": round(float(np.percentile(all_lats, 95)) * 1000, 1),
         "server_stats": srv.batcher.stats(),
     }), flush=True)
     srv.shutdown()

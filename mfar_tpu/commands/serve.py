@@ -45,10 +45,11 @@ def main(argv=None) -> None:
 
     from mfar_tpu.parallel import multihost
 
-    assert not multihost.is_multiprocess(), (
-        "the serving daemon is single-process (one controller owns all "
-        "devices); use a mesh over locally-visible chips"
-    )
+    if multihost.is_multiprocess():
+        raise SystemExit(
+            "the serving daemon is single-process (one controller owns all "
+            "devices); use a mesh over locally-visible chips"
+        )
 
     from mfar_tpu.serve import RetrievalServer
 
@@ -74,6 +75,7 @@ def main(argv=None) -> None:
         dt = server.warmup(sample)
         print(f"[serve] warmup: compiled serving program in {dt:.1f}s"
               + (" (incl. a real-query pass)" if sample else ""))
+    server.bind()  # the port opens only now, after warmup
     print(f"[serve] listening on http://{server.host}:{server.port} "
           f"(max_batch={args.max_batch}, top_k={args.top_k}, "
           f"n_docs={engine.n_docs})")

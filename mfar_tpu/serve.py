@@ -69,6 +69,7 @@ class MicroBatcher:
         self.top_k = int(top_k)
         self.mode = mode
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._carry: Optional[_Pending] = None  # overflow from _collect
         self._lock = threading.Lock()
         self._stats = dict(requests=0, queries=0, batches=0, padded=0, errors=0)
         self._latencies: List[float] = []  # ring buffer, seconds
@@ -82,11 +83,16 @@ class MicroBatcher:
         timeout: float = 120.0,
     ) -> List[List[Tuple[str, float]]]:
         """Block until the micro-batch containing these queries returns."""
-        if top_k is not None and top_k > self.top_k:
-            raise ValueError(
-                f"per-request top_k {top_k} exceeds the served depth "
-                f"{self.top_k} (one compiled program serves all requests)"
-            )
+        if len(queries) == 0:
+            raise ValueError("queries must be a non-empty list")
+        if top_k is not None:
+            if not isinstance(top_k, int) or isinstance(top_k, bool) or top_k < 1:
+                raise ValueError(f"top_k must be a positive int, got {top_k!r}")
+            if top_k > self.top_k:
+                raise ValueError(
+                    f"per-request top_k {top_k} exceeds the served depth "
+                    f"{self.top_k} (one compiled program serves all requests)"
+                )
         item = _Pending([str(q) for q in queries], top_k)
         self._q.put(item)
         if not item.done.wait(timeout):
@@ -135,8 +141,15 @@ class MicroBatcher:
 
     def _collect(self) -> Optional[List[_Pending]]:
         """One micro-batch: block for the first request, then drain until
-        max_batch queries are assembled or the wait window closes."""
-        first = self._q.get()
+        max_batch queries are assembled or the wait window closes.
+
+        A request that would push the batch PAST max_batch is carried to
+        the next batch instead of coalesced (coalescing would split the
+        combined list into a second, nearly-empty padded device dispatch
+        that delays everyone).  Only a single request larger than
+        max_batch ever overflows, as the first item of its own batch."""
+        first = self._carry or self._q.get()
+        self._carry = None
         if first is None:
             return None
         batch, n = [first], len(first.queries)
@@ -151,6 +164,9 @@ class MicroBatcher:
                 break
             if nxt is None:
                 self._q.put(None)  # re-deliver shutdown after this batch
+                break
+            if n + len(nxt.queries) > self.max_batch:
+                self._carry = nxt  # opens the next batch immediately
                 break
             batch.append(nxt)
             n += len(nxt.queries)
@@ -210,7 +226,7 @@ class MicroBatcher:
             lat = np.asarray(self._latencies, np.float64)
         out["served_top_k"] = self.top_k
         out["max_batch"] = self.max_batch
-        if out["batches"]:
+        if out["queries"] + out["padded"] > 0:
             out["mean_batch_fill"] = round(
                 out["queries"] / (out["queries"] + out["padded"]), 4
             )
@@ -278,10 +294,10 @@ class RetrievalServer:
                     n = int(self.headers.get("Content-Length", "0"))
                     req = json.loads(self.rfile.read(n) or b"{}")
                     queries = req["queries"]
-                    assert isinstance(queries, list) and queries, \
-                        "queries must be a non-empty list"
+                    if not isinstance(queries, list) or not queries:
+                        raise ValueError("queries must be a non-empty list")
                     results = batcher.submit(queries, top_k=req.get("top_k"))
-                except (ValueError, KeyError, AssertionError) as e:
+                except (ValueError, KeyError) as e:
                     self._send(400, {"error": str(e)})
                     return
                 except Exception as e:  # noqa: BLE001
@@ -306,22 +322,38 @@ class RetrievalServer:
                     return  # client went away (timeout/cancel): not an error
                 super().handle_error(request, client_address)
 
-        self.httpd = _Server((host, port), Handler)
-        self.host, self.port = self.httpd.server_address[:2]
+        # Bind DEFERRED to serve time: a load balancer TCP-probing between
+        # construction and warmup would see the port open and route traffic
+        # that then stalls in the listen backlog through the 20-40 s
+        # compile -- the port must not exist until the program is warm.
+        self.httpd = _Server((host, port), Handler, bind_and_activate=False)
+        self.host: Optional[str] = None
+        self.port: Optional[int] = None
+
+    def bind(self) -> None:
+        """Bind + activate the listening socket (idempotent); called by
+        serve_forever/start_background after warmup has had its chance."""
+        if self.port is None:
+            self.httpd.server_bind()
+            self.httpd.server_activate()
+            self.host, self.port = self.httpd.server_address[:2]
 
     def warmup(self, sample_queries: Optional[Sequence[str]] = None) -> float:
         return self.batcher.warmup(sample_queries)
 
     def serve_forever(self) -> None:
         self.batcher.start()
+        self.bind()
         try:
             self.httpd.serve_forever()
         finally:
             self.batcher.stop()
 
     def start_background(self) -> threading.Thread:
-        """Run the server on a daemon thread (tests / embedding)."""
+        """Run the server on a daemon thread (tests / embedding); binds the
+        port, so ``host``/``port`` are resolved after this returns."""
         self.batcher.start()
+        self.bind()
         t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
         t.start()
         return t

@@ -178,7 +178,15 @@ class BM25Index:
             if missing:
                 scored = self.native.get_scores_batch(missing)
                 if len(self._score_cache) + len(missing) > _SCORE_CACHE_MAX:
+                    # Keep THIS batch's hits through the eviction, or the
+                    # assembly below would re-score them one native call at
+                    # a time -- the loop this batching exists to avoid.
+                    keep = {
+                        q: self._score_cache[q]
+                        for q in queries if q in self._score_cache
+                    }
                     self._score_cache.clear()
+                    self._score_cache.update(keep)
                 for q, s in zip(missing, scored):
                     self._score_cache[q] = s
         return np.stack([self.get_scores(q) for q in queries], axis=0)

@@ -33,13 +33,13 @@ def enable(path: Optional[str] = None) -> Optional[str]:
     setting failed -- never fatal: the cache is an accelerator, not a
     dependency)."""
     env = os.environ.get("MFAR_COMPILE_CACHE", "")
-    if env.lower() in ("off", "0", "false", "none"):
+    if env.lower() in ("off", "0", "false", "none", "no"):
         return None
     cpu_forced = os.environ.get("JAX_PLATFORMS", "").lower().startswith("cpu")
     if cpu_forced and not env and path is None:
         return None
-    if env.lower() == "on":
-        env = ""
+    if env.lower() in ("on", "1", "true", "yes"):  # force-on synonyms, not
+        env = ""  # literal directory names
     path = path or env or os.path.expanduser("~/.cache/mfar_tpu/xla")
     try:
         os.makedirs(path, exist_ok=True)

@@ -112,6 +112,55 @@ def test_microbatcher_oversized_request_routes_through_retrieve_many(world):
         b.stop()
 
 
+def test_microbatcher_rejects_bad_requests(world):
+    b = MicroBatcher(world["engine"], max_batch=4, top_k=5)
+    with pytest.raises(ValueError):
+        b.submit([])
+    with pytest.raises(ValueError):
+        b.submit(["q"], top_k=-1)
+    with pytest.raises(ValueError):
+        b.submit(["q"], top_k="10")
+    with pytest.raises(ValueError):
+        b.submit(["q"], top_k=50)
+
+
+def test_microbatcher_carries_overflowing_request(world):
+    """A request that would push a batch past max_batch opens the NEXT
+    batch instead of splitting the combined list into a second
+    nearly-empty padded dispatch."""
+    import queue as _q
+
+    b = MicroBatcher(world["engine"], max_batch=4, max_wait_ms=50.0, top_k=5)
+    from mfar_tpu.serve import _Pending
+
+    big = _Pending(["a", "b", "c"], None)
+    small = _Pending(["d", "e"], None)
+    b._q.put(big)
+    b._q.put(small)
+    first_batch = b._collect()
+    assert first_batch == [big] and b._carry is small
+    second_batch = b._collect()
+    assert second_batch == [small] and b._carry is None
+
+
+def test_server_port_closed_until_started(world):
+    """The listening socket must not exist before serve starts (a
+    readiness probe during the 20-40 s warmup would otherwise route
+    traffic into the backlog)."""
+    import socket
+
+    srv = RetrievalServer(world["engine"], port=0, max_batch=4, top_k=5)
+    assert srv.port is None  # not bound yet
+    srv.warmup()
+    assert srv.port is None  # still unbound through warmup
+    srv.start_background()
+    try:
+        with socket.create_connection((srv.host, srv.port), timeout=5):
+            pass  # now accepting
+    finally:
+        srv.shutdown()
+
+
 def test_http_server_end_to_end(world):
     eng, queries = world["engine"], world["queries"]
     srv = RetrievalServer(eng, port=0, max_batch=8, max_wait_ms=1.0, top_k=5)
