@@ -20,6 +20,9 @@ N, FE, K = 1_048_576, 3840, 100
 
 
 def main():
+    from mfar_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
     B = int(sys.argv[1])
     row_block = int(sys.argv[2])
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 524288

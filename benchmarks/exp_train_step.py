@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from mfar_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
     donate = "nodonate" not in sys.argv[1:]
     steps = 6
 

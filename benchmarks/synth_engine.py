@@ -17,6 +17,10 @@ def make_world(N: int, hybrid: bool = False, seed: int = 0):
     import jax
     import jax.numpy as jnp
 
+    from mfar_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
+
     from mfar_tpu.data.schema import resolve_fields
     from mfar_tpu.eval.index_build import make_encode_fn
     from mfar_tpu.eval.retrieval import RetrievalEngine
