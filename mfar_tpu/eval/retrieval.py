@@ -235,6 +235,16 @@ class RetrievalEngine:
         # than the corpus (e.g. --lexical-index built elsewhere).  Per field:
         # None = rows aligned with doc_keys (fast positional paths), else an
         # int64 [n_bm25] map of BM25 row -> corpus row (-1 = not in corpus).
+        missing = [fk for fk in self.sparse_keys if fk not in self.sparse_indices]
+        if missing:
+            # Fail here, not with a KeyError on the first query: every
+            # serving path scores each declared sparse field through its
+            # index.
+            raise ValueError(
+                f"field_info declares sparse fields {missing} but "
+                f"sparse_indices has no index for them (got "
+                f"{sorted(self.sparse_indices)})"
+            )
         self._sparse_row_map: Dict[str, Optional[np.ndarray]] = {}
         key_to_row = None
         for fk in self.sparse_keys:
@@ -389,6 +399,36 @@ class RetrievalEngine:
             )
         return comb
 
+    def _collect_sparse_postings(self, cleaned: List[str]):
+        """Shared host half of both postings feeds: per unmasked sparse
+        field, the batch's query-term postings (row-mapped to corpus rows).
+        Returns (per_field list of (ids, vals, s_i), dense) where dense=True
+        means the combined postings are denser than half the corpus
+        (unpadded nnz check -- the padded width would misjudge small
+        corpora and outlier-long queries) and the [B, N] path is the
+        cheaper transfer."""
+        fd = len(self.dense_keys)
+        per_field = []
+        for s_i, fk in enumerate(self.sparse_keys):
+            if self._masked_out(fd + s_i):
+                continue
+            ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
+            ids, vals = self._map_postings(fk, ids, vals)
+            per_field.append((ids, np.asarray(vals), s_i))
+        nnz_total = sum(float((v != 0).sum()) for _, v, _ in per_field)
+        dense = nnz_total * 2 > len(cleaned) * self.n_docs
+        return per_field, dense
+
+    @staticmethod
+    def _bucket_pad(width: int) -> int:
+        """Zero-pad amount taking a concatenated postings width to its
+        geometric bucket: per-field widths are bucketed
+        (bm25.get_postings_batch), but their SUM varies per field combo and
+        would recompile the fused serving program per batch."""
+        from mfar_tpu.native import bucket_width
+
+        return bucket_width(width) - width
+
     def _sparse_postings_raw(
         self, cleaned: List[str]
     ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
@@ -399,31 +439,18 @@ class RetrievalEngine:
         device work in this dispatch-side helper).  Returns None when the
         combined postings are denser than half the corpus."""
         b = len(cleaned)
-        fd = len(self.dense_keys)
-        per_field = []
-        for s_i, fk in enumerate(self.sparse_keys):
-            if self._masked_out(fd + s_i):
-                continue
-            ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
-            ids, vals = self._map_postings(fk, ids, vals)
-            per_field.append((ids, np.asarray(vals), s_i))
+        per_field, dense = self._collect_sparse_postings(cleaned)
         if not per_field:
             z = np.zeros((b, 128), np.int32)
             return z, np.zeros((b, 128), np.float32), z
-        nnz_total = sum(float((v != 0).sum()) for _, v, _ in per_field)
-        if nnz_total * 2 > b * self.n_docs:
+        if dense:
             return None
         ids = np.concatenate([i for i, _, _ in per_field], axis=1)
         vals = np.concatenate([v for _, v, _ in per_field], axis=1)
         fidx = np.concatenate(
             [np.full(i.shape, s_i, np.int32) for i, _, s_i in per_field], axis=1
         )
-        # Re-bucket the concatenated width: per-field widths are bucketed
-        # (bm25.get_postings_batch), but their SUM varies per field combo
-        # and would recompile the fused serving program per batch.
-        from mfar_tpu.native import bucket_width
-
-        pad = bucket_width(ids.shape[1]) - ids.shape[1]
+        pad = self._bucket_pad(ids.shape[1])
         if pad:
             wide = ((0, 0), (0, pad))
             ids, vals, fidx = (np.pad(a, wide) for a in (ids, vals, fidx))
@@ -440,24 +467,13 @@ class RetrievalEngine:
         transfer)."""
         b = len(cleaned)
         fd = len(self.dense_keys)
-        per_field = []
-        for s_i, fk in enumerate(self.sparse_keys):
-            if self._masked_out(fd + s_i):
-                continue
-            ids, vals = self.sparse_indices[fk].get_postings_batch(cleaned)
-            ids, vals = self._map_postings(fk, ids, vals)
-            per_field.append((ids, vals, s_i))
+        per_field, dense = self._collect_sparse_postings(cleaned)
         if not per_field:
             return (
                 np.zeros((b, 128), np.int32),
                 jnp.zeros((b, 128), jnp.float32),
             )
-        # Unpadded total nnz across fields vs the corpus (see
-        # _sparse_comb_device: the padded width misjudges small corpora and
-        # outlier-long queries).  NB vals may already live on device for the
-        # native path; these are host numpy arrays here.
-        nnz_total = sum(float((np.asarray(v) != 0).sum()) for _, v, _ in per_field)
-        if nnz_total * 2 > b * self.n_docs:
+        if dense:
             return None
         ids = np.concatenate([i for i, _, _ in per_field], axis=1)
         vals = jnp.concatenate(
@@ -467,12 +483,9 @@ class RetrievalEngine:
             ],
             axis=1,
         )
-        # Re-bucket the concatenated width (see _sparse_postings_raw); vals
-        # lives on device, so its zero-pad is a (tiny) device op.
-        from mfar_tpu.native import bucket_width
-
-        pad = bucket_width(ids.shape[1]) - ids.shape[1]
+        pad = self._bucket_pad(ids.shape[1])
         if pad:
+            # vals lives on device, so its zero-pad is a (tiny) device op
             ids = np.pad(ids, ((0, 0), (0, pad)))
             vals = jnp.pad(vals, ((0, 0), (0, pad)))
         return ids, vals
@@ -645,15 +658,17 @@ class RetrievalEngine:
                 top_s, top_i = distributed_dense_topk_int8(
                     self.mesh, qflat.astype(jnp.float32), self.docs_q,
                     self.doc_scales, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
-                    exact=True, axis=self._corpus_axes,
+                    exact=self.dense_topk != "approx", axis=self._corpus_axes,
                     query_axis=self._qaxis(qflat.shape[0]),
                 )
             elif self.docs_q is not None:
-                # exact per-chunk top-k: the only deviation from f32
-                # retrieval is the quantization error itself
+                # exact per-chunk top-k by default (the only deviation from
+                # f32 retrieval is then the quantization error itself);
+                # --dense-topk approx composes here like it does for f32
                 top_s, top_i = dense_topk_chunked_approx_int8(
                     qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
-                    jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK, exact=True,
+                    jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK,
+                    exact=self.dense_topk != "approx",
                 )
             elif self.mesh is not None:
                 from mfar_tpu.parallel.topk import distributed_dense_topk
@@ -893,7 +908,13 @@ class RetrievalEngine:
                     q.astype(jnp.float32), cand_docs.astype(jnp.float32)
                 )
         else:
-            dense_scores = jnp.zeros((b, width, 0), jnp.float32)
+            # No dense matrix: zero-fill the DECLARED dense columns so the
+            # [B, C, F] component tensor still spans every mixer field
+            # (the mixed score then reduces to the sparse part, matching
+            # the exact-mode sparse-only host path).
+            dense_scores = jnp.zeros(
+                (b, width, len(self.dense_keys)), jnp.float32
+            )
 
         sparse_scores = None
         if self.sparse_keys:

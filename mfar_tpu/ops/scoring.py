@@ -50,17 +50,17 @@ def softmax_field_weights(
         W = W[None, :]
     if q is not None and W.shape[0] > 1:
         logits = jnp.dot(q, W, preferred_element_type=jnp.float32)  # [B, F]
+    elif W.shape[0] == 1:
+        logits = W[:1].astype(jnp.float32)
     else:
-        logits = W[:1].astype(jnp.float32) if W.shape[0] == 1 else W.T.astype(jnp.float32)
+        raise ValueError(
+            f"query-conditioned mixer weights {W.shape} need q (got None); "
+            f"global weights must be [1, F] or [F]"
+        )
     weights = jax.nn.softmax(logits, axis=-1)
     if mask is not None:
         weights = weights * mask[None, :]
     return weights
-
-
-def mix_scores(scores: jax.Array, weights: jax.Array) -> jax.Array:
-    """[..., F] per-field scores x [B-or-1, F] weights -> [...] mixture."""
-    return jnp.einsum("...f,...f->...", scores, jnp.broadcast_to(weights[:, None, :], scores.shape))
 
 
 def fold_queries(q: jax.Array, weights: jax.Array) -> jax.Array:

@@ -180,6 +180,9 @@ def hybrid_contrastive_loss(
             / temperature
         )
         rev_comp = with_sparse(rev_dense, sparse_pos)
+        # Second normalize_fn call per step is reference-identical: the
+        # torch code batch-norms BOTH directions (losses.py:346 forward,
+        # :359 reverse), so running stats update twice there too.
         rev_comp = normalize_fn(rev_comp)
         rev_scores = mix_fn(rev_comp, q)  # [B(queries), B(docs)]
         # rows = docs, columns = queries; diagonal pairs doc m with query m

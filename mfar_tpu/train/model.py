@@ -154,6 +154,18 @@ class MFARModel(nn.Module):
 
         if not self.in_batch:
             assert neg_embs is not None, "simple loss needs sampled negatives"
+            if len(field_keys) != self.num_fields:
+                # Reference-identical limitation, surfaced early: its
+                # simple_loss (losses.py:87-110) feeds DENSE-only components
+                # into a mixer sized to all fields, so hybrid schemas crash
+                # there too (in_batch_negative=False never composes with
+                # sparse fields in either implementation).
+                raise ValueError(
+                    f"in_batch=False (simple loss) supports dense-only "
+                    f"schemas: the mixer spans {self.num_fields} fields but "
+                    f"only {len(field_keys)} dense components exist. Drop "
+                    f"the sparse fields or use in-batch negatives."
+                )
             return decomposed_simple_loss(
                 q.astype(jnp.float32),
                 pos_embs.astype(jnp.float32),

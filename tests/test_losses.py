@@ -209,6 +209,22 @@ def test_model_simple_loss_branch():
     assert np.isfinite(losses[False]) and losses[False] > 0
     assert abs(losses[True] - losses[False]) > 1e-6
 
+    # Hybrid + in_batch=False is a reference-identical dead end (its
+    # simple_loss feeds dense-only components into an all-fields mixer,
+    # losses.py:87-110): must fail with a clear error, not a shape crash.
+    hybrid = MFARModel(encoder_config=cfg, num_fields=3, in_batch=False)
+    state = init_state(hybrid, make_optimizer(1e-4, 1e-1), seed=0)
+    sp = jnp.zeros((4, 4, 1), jnp.float32)
+    sn = jnp.zeros((4, 8, 1), jnp.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="dense-only"):
+        hybrid.apply(
+            {"params": state.params},
+            batch["query"], batch["pos"], batch["neg"], sp, sn,
+            train=False, method=hybrid.compute_loss,
+        )
+
 
 def test_loss_sharded_batch_matches_single_device(data):
     """GSPMD: batch sharded over 8 devices gives the identical global loss."""

@@ -221,6 +221,62 @@ def test_engine_handles_non_chunk_multiple_corpus(monkeypatch):
         assert [int(k) for k, _ in hits] == list(want)
 
 
+def test_int8_engine_honors_approx_selection(world, engine, monkeypatch):
+    """dense_topk='approx' must reach the int8 kernel as exact=False (it
+    was silently hardcoded to the exact per-chunk sort)."""
+    from mfar_tpu.eval import retrieval as rmod
+    from mfar_tpu.ops.scoring import dense_topk_chunked_approx_int8 as real_i8
+
+    w = world
+    eng, matrix, mixer = engine
+    seen = {}
+
+    def spy(*args, **kwargs):
+        seen["exact"] = kwargs.get("exact")
+        return real_i8(*args, **kwargs)
+
+    monkeypatch.setattr(rmod, "dense_topk_chunked_approx_int8", spy)
+    eng8 = RetrievalEngine(
+        field_info=eng.field_info,
+        doc_keys=eng.doc_keys,
+        encode_fn=w["encode_fn"],
+        tokenizer=w["tok"],
+        mixer_params=mixer,
+        dense_matrix=matrix,
+        query_max_length=64,
+        quantize="int8",
+        dense_topk="approx",
+    )
+    eng8.retrieve_exact(list(w["queries"].values())[:3], top_k=5)
+    assert seen["exact"] is False
+    eng8.dense_topk = "exact"
+    eng8.retrieve_exact(list(w["queries"].values())[:3], top_k=5)
+    assert seen["exact"] is True
+
+
+def test_engine_rejects_missing_sparse_index(world, engine):
+    """A declared sparse field without an index must fail at construction,
+    not with a KeyError on the first query."""
+    import pytest
+
+    w = world
+    eng, matrix, mixer = engine
+    field_info = resolve_fields(
+        "title_dense,description_dense,title_sparse", "amazon"
+    )
+    with pytest.raises(ValueError, match="title_sparse"):
+        RetrievalEngine(
+            field_info=field_info,
+            doc_keys=eng.doc_keys,
+            encode_fn=w["encode_fn"],
+            tokenizer=w["tok"],
+            mixer_params={"weight": jnp.ones((1, 3), jnp.float32)},
+            dense_matrix=matrix,
+            sparse_indices={},  # missing title_sparse
+            query_max_length=64,
+        )
+
+
 def test_quantized_engine_matches_full_precision(world, engine):
     """int8 mode: same top-k ids as the f32 engine on separated scores; no
     full-precision corpus kept on device."""

@@ -176,6 +176,35 @@ def test_retrieve_many_matches_per_batch(world, mode):
         )
 
 
+def test_rerank_without_dense_matrix_matches_exact(world):
+    """A schema that declares dense fields served without a dense matrix
+    must still rerank (zero-filled dense columns; the mixed score reduces
+    to the sparse part) and agree with exact mode's sparse-only host path."""
+    w = world
+    eng = RetrievalEngine(
+        field_info=w["field_info"],  # dense + sparse declared
+        doc_keys=list(w["corpus"].keys()),
+        encode_fn=w["encode_fn"],
+        tokenizer=w["tok"],
+        mixer_params=w["mixer"],
+        dense_matrix=None,  # but no dense matrix
+        sparse_indices=w["sparse_indices"],
+        query_max_length=64,
+        recall_k=20,
+    )
+    queries = list(w["queries"].values())[:5]
+    exact = eng.retrieve(queries, top_k=5, mode="exact")
+    rerank = eng.retrieve(queries, top_k=5, mode="rerank")
+    for he, hr in zip(exact, rerank):
+        np.testing.assert_allclose(
+            [s for _, s in he], [s for _, s in hr], rtol=1e-5, atol=1e-6
+        )
+        # (ids are not compared: the synthetic corpus repeats titles, so
+        # equal/near-tie scores order arbitrarily between the two modes --
+        # exact scans all docs, rerank only candidates; the per-rank score
+        # equality above is the meaningful agreement check)
+
+
 def test_retrieve_many_pads_ragged_tail_batch(world):
     """A ragged tail chunk must be padded up to batch_size so every batch
     hits the SAME compiled program (a new batch shape re-traces -- and on

@@ -262,3 +262,16 @@ def test_ragged_tail_streaming_all_ops(data):
     np.testing.assert_array_equal(
         np.asarray(hi_i), np.argsort(-(full8 + sparse), axis=1)[:, :k]
     )
+
+
+def test_softmax_field_weights_requires_q_for_conditioned_mixer():
+    """A query-conditioned [E, F] mixer without q previously returned
+    [F, E]-shaped garbage (softmax over the embedding axis)."""
+    import pytest
+
+    W = jnp.ones((8, 3), jnp.float32)  # E=8, F=3: query-conditioned
+    with pytest.raises(ValueError, match="need q"):
+        softmax_field_weights(W, None)
+    # global spellings still work without q
+    assert softmax_field_weights(jnp.ones((1, 3)), None).shape == (1, 3)
+    assert softmax_field_weights(jnp.ones((3,)), None).shape == (1, 3)
