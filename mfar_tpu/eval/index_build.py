@@ -35,10 +35,19 @@ def make_batch_sharder(mesh) -> Callable:
 
     sharding = NamedSharding(mesh, P(batch_axes(mesh)))
     n_dp = n_batch_shards(mesh)
+    # Ragged batches fall back to replicated compute.  Multi-host: they
+    # must still be committed to the GLOBAL mesh -- a process-local host
+    # array mixed with globally-sharded params in the encode jit raises
+    # 'incompatible devices' (mirrors Trainer._place_batch).
+    rep = None
+    if jax.process_count() > 1:
+        rep = NamedSharding(mesh, P())
 
     def shard(ids, mask):
         if ids.shape[0] % n_dp == 0:
             return jax.device_put(ids, sharding), jax.device_put(mask, sharding)
+        if rep is not None:
+            return jax.device_put(ids, rep), jax.device_put(mask, rep)
         return ids, mask
 
     return shard

@@ -48,14 +48,21 @@ def softmax_field_weights(
     masks scores rather than logits."""
     if W.ndim == 1:
         W = W[None, :]
-    if q is not None and W.shape[0] > 1:
+    if q is not None and W.shape[0] == q.shape[-1] and W.shape[0] > 1:
+        # [E, F] query-conditioned (first axis matches the embedding dim;
+        # an [F, 1] global with F == E is ambiguous and resolves here,
+        # matching the engine's layout convention)
         logits = jnp.dot(q, W, preferred_element_type=jnp.float32)  # [B, F]
     elif W.shape[0] == 1:
-        logits = W[:1].astype(jnp.float32)
+        logits = W[:1].astype(jnp.float32)  # [1, F] global
+    elif W.shape[1] == 1:
+        # [F, 1] column-vector global weights (the reference's
+        # LinearWeights parameter layout)
+        logits = W.T.astype(jnp.float32)  # [1, F]
     else:
         raise ValueError(
             f"query-conditioned mixer weights {W.shape} need q (got None); "
-            f"global weights must be [1, F] or [F]"
+            f"global weights must be [1, F], [F, 1], or [F]"
         )
     weights = jax.nn.softmax(logits, axis=-1)
     if mask is not None:

@@ -59,6 +59,10 @@ def _replicate(mesh, *arrays):
 
 def _shard_geometry(mesh, n: int, k: int, chunk_size: int, axis: AxisSpec):
     n_shards = _axis_size(mesh, axis)
+    assert n % n_shards == 0, (
+        f"corpus rows ({n}) must divide the corpus axes ({n_shards} shards);"
+        f" pad rows first (RetrievalEngine does this automatically)"
+    )
     shard_n = n // n_shards
     local_k = min(k, shard_n)
     # The streaming ops handle a ragged tail chunk, so chunk_size need not

@@ -31,7 +31,9 @@ import scipy.sparse as sp
 
 from mfar_tpu.sparse.tokenize import Vocabulary, tokenize
 
-_SCORE_CACHE_MAX = 1 << 15  # matches the reference's lru cache budget
+_SCORE_CACHE_MAX = 1 << 15  # entry cap (matches the reference's lru budget)
+_SCORE_CACHE_MAX_BYTES = 1 << 30  # 1 GB: each entry is an [n_docs] f32
+#   vector (4 MB at N=1M), so the entry cap alone would admit ~128 GB
 
 
 class BM25Index:
@@ -57,6 +59,22 @@ class BM25Index:
         self.native = native
         self.safe_docs: Set[int] = set()
         self._score_cache: Dict[str, np.ndarray] = {}
+        self._score_cache_bytes = 0
+
+    def _cache_put(self, query: str, scores: np.ndarray) -> None:
+        """Insert with oldest-first eviction, bounded by BOTH entry count
+        and bytes (full-corpus vectors are n_docs * 4 bytes each; clearing
+        wholesale would also drop the working set rerank stage 2 reuses)."""
+        cache = self._score_cache
+        entry = scores.nbytes
+        while cache and (
+            len(cache) >= _SCORE_CACHE_MAX
+            or self._score_cache_bytes + entry > _SCORE_CACHE_MAX_BYTES
+        ):
+            oldest = next(iter(cache))
+            self._score_cache_bytes -= cache.pop(oldest).nbytes
+        cache[query] = scores
+        self._score_cache_bytes += entry
 
     # ------------------------------------------------------------------
     # Construction
@@ -161,9 +179,7 @@ class BM25Index:
         else:
             token_ids = self.vocab.lookup(tokenize(query))
             scores = self._score_tokens(token_ids)
-        if len(self._score_cache) >= _SCORE_CACHE_MAX:
-            self._score_cache.clear()
-        self._score_cache[query] = scores
+        self._cache_put(query, scores)
         return scores
 
     def get_scores_batch(self, queries: Sequence[str]) -> np.ndarray:
@@ -171,25 +187,20 @@ class BM25Index:
         threaded native call (deduplicated) instead of a per-query loop;
         hits come from the cache (rerank scores the same cleaned queries in
         both stages, so stage 2 is typically all-hits)."""
-        if self.native is not None:
-            missing = list(dict.fromkeys(
-                q for q in queries if q not in self._score_cache
-            ))
-            if missing:
-                scored = self.native.get_scores_batch(missing)
-                if len(self._score_cache) + len(missing) > _SCORE_CACHE_MAX:
-                    # Keep THIS batch's hits through the eviction, or the
-                    # assembly below would re-score them one native call at
-                    # a time -- the loop this batching exists to avoid.
-                    keep = {
-                        q: self._score_cache[q]
-                        for q in queries if q in self._score_cache
-                    }
-                    self._score_cache.clear()
-                    self._score_cache.update(keep)
-                for q, s in zip(missing, scored):
-                    self._score_cache[q] = s
-        return np.stack([self.get_scores(q) for q in queries], axis=0)
+        if self.native is None:
+            return np.stack([self.get_scores(q) for q in queries], axis=0)
+        # Assemble from cache hits + one batched call for the misses; the
+        # batch result feeds the cache but never depends on surviving it
+        # (a batch larger than the cache budget must not degrade to the
+        # serial per-query loop this batching exists to avoid).
+        hits = {q: self._score_cache.get(q) for q in queries}
+        missing = list(dict.fromkeys(q for q, s in hits.items() if s is None))
+        if missing:
+            scored = self.native.get_scores_batch(missing)
+            for q, s in zip(missing, scored):
+                hits[q] = s
+                self._cache_put(q, s)
+        return np.stack([hits[q] for q in queries], axis=0)
 
     def get_postings_batch(
         self, queries: Sequence[str], pad_multiple: int = 128

@@ -25,6 +25,14 @@ from mfar_tpu.train.train_step import TrainState
 
 
 class CheckpointManager:
+    @staticmethod
+    def monitor_mode(monitor: str) -> str:
+        """'min' for loss-like monitors, 'max' for quality metrics
+        (ndcg/recall/map/...).  The reference hardcodes
+        monitor='valid_loss', mode='min' (train.py:219-221); configurable
+        monitors are an extension, so the direction is inferred."""
+        return "min" if "loss" in monitor else "max"
+
     def __init__(
         self,
         out_dir: str,
@@ -59,7 +67,10 @@ class CheckpointManager:
             os.path.join(self.out_dir, "checkpoints"),
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep,
-                best_fn=lambda metrics: metrics.get(monitor, float("inf")),
+                # absent monitor must rank WORST in either direction
+                best_fn=lambda metrics: metrics.get(
+                    monitor, float("inf") if mode == "min" else float("-inf")
+                ),
                 best_mode=mode,
                 **mp_kwargs,
             ),

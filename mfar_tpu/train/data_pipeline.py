@@ -125,9 +125,14 @@ class ContrastiveDataset:
                 batch["neg"][fk] = self.tokenizer.encode_batch(neg_texts, field.max_seq_length)
 
         if self.sparse_keys:
-            sp, sn = self._sparse_scores(query_texts, query_ids, pos_keys, neg_keys, n_sample)
+            # Negatives enter the loss only alongside dense negative
+            # embeddings (model.compute_loss drops sparse_neg when
+            # batch['neg'] is empty), so a sparse-only schema must not pay
+            # the [B, B*Nn] per-field scoring for tensors the loss discards.
+            sn_keys = neg_keys if batch["neg"] else []
+            sp, sn = self._sparse_scores(query_texts, query_ids, pos_keys, sn_keys, n_sample)
             batch["sparse_pos"] = sp
-            batch["sparse_neg"] = sn
+            batch["sparse_neg"] = sn if batch["neg"] else None
         return batch
 
     def _sparse_scores(
@@ -152,7 +157,9 @@ class ContrastiveDataset:
         for s_i, fk in enumerate(self.sparse_keys):
             cache = self.sparse_score_cache.get(fk)
             index = self.sparse_indices.get(fk)
-            usable_cache = cache is not None and all(
+            # The cached path still maps doc keys -> rows through the index
+            # (score_batch_with_cache), so it needs one too.
+            usable_cache = index is not None and cache is not None and all(
                 int(qid) in cache for qid in query_ids if qid.isdigit()
             ) and all(qid.isdigit() for qid in query_ids)
             if usable_cache:

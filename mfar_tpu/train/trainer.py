@@ -116,7 +116,10 @@ class Trainer:
         self.timer = Timer()
 
         os.makedirs(config.out_dir, exist_ok=True)
-        self.ckpt = CheckpointManager(config.out_dir, monitor=config.monitor)
+        self.ckpt = CheckpointManager(
+            config.out_dir, monitor=config.monitor,
+            mode=CheckpointManager.monitor_mode(config.monitor),
+        )
         # Donating the state halves its HBM footprint across the update
         # (params + AdamW moments rewrite in place; >1.3 GB saved at
         # contriever scale) -- the old state is invalid after each step,
@@ -188,6 +191,13 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _encode_fn(self, state: TrainState):
+        # Sibling of eval.index_build.make_encode_fn -- kept separate
+        # because this one (a) routes through model.encode, (b) caches the
+        # jit on self (called once per eval with fresh params), and (c)
+        # places params by the tensor-parallel sharding RULES rather than
+        # replicated.  The shared invariants (batch sharder, multi-host
+        # replicated out_sharding) live in index_build; fix both when
+        # touching either.
         # Params ride as an ARGUMENT of one cached jitted function: closing
         # over them would (a) recompile on every eval (new closure, new jit)
         # and (b) embed the full weights in the compile payload, which
@@ -249,7 +259,13 @@ class Trainer:
             tokenizer=self.tokenizer,
             mixer_params=state.params["mixer"],
             dense_matrix=matrix if matrix.size else None,
-            sparse_indices={k: self.sparse_indices[k] for k in sparse_keys(self.field_info)},
+            # missing indices pass through so the engine raises its
+            # descriptive field_info-vs-indices ValueError, not a KeyError
+            sparse_indices={
+                k: self.sparse_indices[k]
+                for k in sparse_keys(self.field_info)
+                if k in (self.sparse_indices or {})
+            },
             query_max_length=self.cfg.query_max_length,
             recall_k=self.cfg.recall_k,
             mask=self.mask,
@@ -363,6 +379,10 @@ class Trainer:
         if multihost.is_multiprocess():
             assert self.mesh is not None, "multihost training requires a mesh"
         state = self.place_state(state)
+        # Direction-aware early stopping: loss-like monitors minimize,
+        # quality metrics maximize (comparison runs on sign*value so one
+        # 'smaller is better' code path serves both).
+        sign = 1.0 if CheckpointManager.monitor_mode(cfg.monitor) == "min" else -1.0
         best_monitor = float("inf")
         epochs_without_improvement = 0
 
@@ -370,6 +390,10 @@ class Trainer:
             state, train_loss, mid_val = self.train_epoch(state, epoch)
             valid_loss = self.validate_proxy(state)
             metrics: Dict[str, float] = {"train_loss": train_loss, "valid_loss": valid_loss}
+            if mid_val:
+                # dev_by_iter mid-epoch proxy validations (logged; early
+                # stop and checkpoint selection stay epoch-end)
+                metrics["mid_valid_loss"] = float(np.mean(mid_val))
 
             if cfg.trec_val_freq > 0 and (epoch + 1) % cfg.trec_val_freq == 0:
                 dev = self.trec_eval(state, self.dev_queries, self.dev_qrels_path, f"epoch{epoch}-dev")
@@ -397,15 +421,21 @@ class Trainer:
             del host_state
             multihost.sync("epoch-io")
 
-            monitored = metrics.get(cfg.monitor, valid_loss)
-            if monitored < best_monitor - 1e-12:
-                best_monitor = monitored
-                epochs_without_improvement = 0
-            else:
-                epochs_without_improvement += 1
-                if epochs_without_improvement >= cfg.patience:
-                    print(f"[early stop] no {cfg.monitor} improvement for {cfg.patience} epochs")
-                    break
+            if cfg.monitor in metrics:
+                monitored = sign * metrics[cfg.monitor]
+                if monitored < best_monitor - 1e-12:
+                    best_monitor = monitored
+                    epochs_without_improvement = 0
+                else:
+                    epochs_without_improvement += 1
+                    if epochs_without_improvement >= cfg.patience:
+                        print(f"[early stop] no {cfg.monitor} improvement "
+                              f"for {cfg.patience} epochs")
+                        break
+            # monitor absent this epoch (e.g. a trec metric between
+            # --trec-val-freq epochs): skip, like Lightning's
+            # EarlyStopping(strict=False) -- never fall back to a
+            # different metric with a different scale/direction
             if cfg.run_one_iteration:
                 break
         return state
