@@ -65,6 +65,19 @@ class EncoderConfig:
     softmax_dtype: Any = jnp.float32
     normalize: bool = False  # L2-normalize sentence embeddings
 
+    def __post_init__(self):
+        # Typos must fail loudly: an unrecognized policy/impl would
+        # otherwise silently select the fallback and benchmark the wrong
+        # configuration.
+        if self.remat_policy not in ("full", "dots", "attn_out"):
+            raise ValueError(
+                f"remat_policy {self.remat_policy!r} not in full|dots|attn_out"
+            )
+        if self.attention_impl not in ("xla", "flash", "auto"):
+            raise ValueError(
+                f"attention_impl {self.attention_impl!r} not in xla|flash|auto"
+            )
+
     @classmethod
     def contriever_base(cls, **overrides) -> "EncoderConfig":
         return cls(**overrides)

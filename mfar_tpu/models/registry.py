@@ -42,7 +42,8 @@ def prepare_model(
     ``google-t5/t5-{size}`` checkpoint.  See graft_t5_decoder.
     """
     if "gtr-t5" in model_id or model_id.startswith("t5:") or _is_t5_dir(model_id):
-        out = _prepare_gtr(model_id, normalize=normalize, max_length=max_length)
+        out = _prepare_gtr(model_id, normalize=normalize, max_length=max_length,
+                           dtype=dtype)
         if with_decoder:
             return (*out, graft_t5_decoder(model_id, out[0], out[1]))
         return out
@@ -53,7 +54,9 @@ def prepare_model(
         parts = model_id.split(":")
         assert corpus_texts is not None, "synthetic model needs corpus_texts for its vocab"
         max_vocab = int(parts[1]) if len(parts) > 1 else 32768
-        tokenizer = SimpleVocabTokenizer.build(corpus_texts, max_vocab=max_vocab, max_length=128)
+        tokenizer = SimpleVocabTokenizer.build(
+            corpus_texts, max_vocab=max_vocab, max_length=min(max_length, 128)
+        )  # capped at the tiny config's max_position_embeddings
         overrides = {}
         if len(parts) > 2:  # synthetic:vocab:hidden -- TPU-shaped smoke runs
             hidden = int(parts[2])
@@ -91,7 +94,7 @@ def _is_t5_dir(model_id: str) -> bool:
         return False
 
 
-def _prepare_t5_dir(path: str, normalize: bool, max_length: int):
+def _prepare_t5_dir(path: str, normalize: bool, max_length: int, dtype=jnp.bfloat16):
     """Direct T5-encoder loading from a local checkpoint DIRECTORY -- no
     sentence_transformers / network required (the reference can only reach
     GTR weights through SentenceTransformer, reference
@@ -103,7 +106,7 @@ def _prepare_t5_dir(path: str, normalize: bool, max_length: int):
     from mfar_tpu.models.t5_encoder import convert_hf_t5, t5_config_from_hf
 
     t5 = T5EncoderModel.from_pretrained(path)
-    config = t5_config_from_hf(t5.config, normalize=normalize)
+    config = t5_config_from_hf(t5.config, normalize=normalize, dtype=dtype)
     params = convert_hf_t5(t5.state_dict(), config)
     tok_json = os.path.join(path, "tokenizer.json")
     if os.path.exists(tok_json):
@@ -113,7 +116,7 @@ def _prepare_t5_dir(path: str, normalize: bool, max_length: int):
     return config, params, tokenizer
 
 
-def _prepare_gtr(model_id: str, normalize: bool, max_length: int):
+def _prepare_gtr(model_id: str, normalize: bool, max_length: int, dtype=jnp.bfloat16):
     """GTR-T5 via sentence-transformers: T5 encoder + mean pooling + dense
     projection (+ Normalize, stripped unless ``normalize``) -- the module
     stack the reference builds (reference: mfar/modeling/util.py:22-36).
@@ -126,11 +129,13 @@ def _prepare_gtr(model_id: str, normalize: bool, max_length: int):
     if model_id.startswith("t5:"):
         # explicit direct-T5 spelling: ``t5:<hf-id-or-local-dir>`` loads the
         # bare T5 encoder (no sentence-transformers packaging/projection)
-        return _prepare_t5_dir(model_id[3:], normalize=normalize, max_length=max_length)
+        return _prepare_t5_dir(model_id[3:], normalize=normalize,
+                               max_length=max_length, dtype=dtype)
     if _is_t5_dir(model_id) and not os.path.exists(
         os.path.join(model_id, "modules.json")  # an ST save keeps its stack
     ):
-        return _prepare_t5_dir(model_id, normalize=normalize, max_length=max_length)
+        return _prepare_t5_dir(model_id, normalize=normalize,
+                               max_length=max_length, dtype=dtype)
 
     from sentence_transformers import SentenceTransformer
 
@@ -141,7 +146,7 @@ def _prepare_gtr(model_id: str, normalize: bool, max_length: int):
     if dense_mods:
         projection_dim = dense_mods[0].linear.out_features
     config = t5_config_from_hf(
-        t5.config, projection_dim=projection_dim, normalize=normalize
+        t5.config, projection_dim=projection_dim, normalize=normalize, dtype=dtype
     )
     params = convert_hf_t5(t5.state_dict(), config)
     if dense_mods:
@@ -172,7 +177,11 @@ def graft_t5_decoder(model_id: str, encoder_config, encoder_params):
             f"gtr-t5-* ids (got {model_id!r})"
         )
     t5_size = model_id.split("-")[-1]
-    full = T5ForConditionalGeneration.from_pretrained(f"google-t5/t5-{t5_size}")
+    # GTR is built on ORIGINAL T5 (its configs use feed_forward_proj=relu,
+    # not v1.1's gated-gelu), whose xl/xxl checkpoints are hosted as
+    # t5-3b/t5-11b; google-t5/t5-xl does not exist.
+    hf_size = {"xl": "3b", "xxl": "11b"}.get(t5_size, t5_size)
+    full = T5ForConditionalGeneration.from_pretrained(f"google-t5/t5-{hf_size}")
     decoder_config = t5_config_from_hf(
         full.config, num_layers=full.config.num_decoder_layers
     )

@@ -132,8 +132,12 @@ def build_native_library(force: bool = False) -> bool:
 
 def native_stem(word: str) -> str:
     lib = load_library()
-    buf = ctypes.create_string_buffer(64)
-    lib.mfar_stem(word.encode("utf-8"), buf, 64)
+    # A stem is never longer than its input; a fixed 64-byte buffer
+    # silently truncated long tokens into a parity divergence vs
+    # porter2_stem.
+    n = len(word.encode("utf-8")) + 1
+    buf = ctypes.create_string_buffer(max(n, 64))
+    lib.mfar_stem(word.encode("utf-8"), buf, max(n, 64))
     return buf.value.decode("utf-8")
 
 

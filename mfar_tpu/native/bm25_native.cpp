@@ -270,13 +270,86 @@ std::string porter2(std::string word) {
 }
 
 // ----------------------------------------------------------------------
-// Tokenizer: lowercase, word tokens of length >= 2 (\w\w+ over ASCII plus
-// high-byte passthrough for UTF-8), Lucene English stopwords, Porter2.
+// Tokenizer: lowercase, word tokens of >= 2 CODEPOINTS (python's
+// (?u)\b\w\w+\b over text.lower()), Lucene English stopwords, Porter2.
 // Matches mfar_tpu/sparse/tokenize.py.
+//
+// UTF-8 is decoded per codepoint.  \w is approximated as: ASCII
+// alnum/underscore, plus any non-ASCII codepoint NOT in the common
+// punctuation/symbol blocks below -- so typographic punctuation
+// (em-dashes, curly quotes, ellipses, CJK punctuation, emoji) splits
+// tokens exactly like python's regex, while letters of unlisted scripts
+// stay word characters.  Lowercasing covers ASCII, Latin-1, Latin
+// Extended-A, Greek, and Cyrillic (python's str.lower() for those
+// ranges); other scripts are caseless or rare in the target corpora.
 // ----------------------------------------------------------------------
 
-inline bool is_word_char(unsigned char c) {
-  return std::isalnum(c) || c == '_' || c >= 0x80;
+inline bool is_word_cp(uint32_t cp) {
+  if (cp < 0x80) return std::isalnum((int)cp) || cp == '_';
+  // Non-word (punctuation / symbol / separator) blocks:
+  if (cp <= 0xBF) return cp == 0xAA || cp == 0xB5 || cp == 0xBA;  // latin-1
+  if (cp == 0xD7 || cp == 0xF7) return false;           // multiply, divide
+  if (cp >= 0x2000 && cp <= 0x206F) return false;       // general punct
+  if (cp >= 0x20A0 && cp <= 0x20CF) return false;       // currency
+  if (cp >= 0x2190 && cp <= 0x2BFF) return false;       // arrows/math/symbols
+  if (cp >= 0x2E00 && cp <= 0x2E7F) return false;       // suppl. punct
+  if (cp >= 0x3000 && cp <= 0x3004) return false;       // CJK punct (space,
+  if (cp >= 0x3008 && cp <= 0x3020) return false;       //   brackets, marks)
+  if (cp == 0x30FB) return false;                       // katakana middle dot
+  if (cp >= 0xFE30 && cp <= 0xFE4F) return false;       // CJK compat forms
+  if (cp >= 0xFF01 && cp <= 0xFF0F) return false;       // fullwidth punct
+  if (cp >= 0xFF1A && cp <= 0xFF20) return false;
+  if (cp >= 0xFF3B && cp <= 0xFF40) return false;
+  if (cp >= 0xFF5B && cp <= 0xFF65) return false;
+  if (cp >= 0x1F000 && cp <= 0x1FBFF) return false;     // emoji & pictographs
+  return true;
+}
+
+inline uint32_t lower_cp(uint32_t cp) {
+  if (cp < 0x80) return (uint32_t)std::tolower((int)cp);
+  if (cp >= 0xC0 && cp <= 0xDE && cp != 0xD7) return cp + 0x20;  // latin-1
+  if (cp >= 0x100 && cp <= 0x177 && (cp % 2 == 0)) return cp + 1;  // ext-A
+  if (cp >= 0x179 && cp <= 0x17D && (cp % 2 == 1)) return cp + 1;
+  if (cp >= 0x391 && cp <= 0x3A9 && cp != 0x3A2) return cp + 0x20;  // greek
+  if (cp >= 0x410 && cp <= 0x42F) return cp + 0x20;  // cyrillic
+  if (cp >= 0x400 && cp <= 0x40F) return cp + 0x50;
+  return cp;
+}
+
+// Decode one UTF-8 codepoint at s[i]; advances i.  Invalid bytes decode
+// as themselves (one byte) so they split tokens rather than crash.
+inline uint32_t next_cp(const std::string& s, size_t& i) {
+  unsigned char c = s[i];
+  if (c < 0x80) { i += 1; return c; }
+  size_t n = (c >= 0xF0) ? 4 : (c >= 0xE0) ? 3 : (c >= 0xC0) ? 2 : 1;
+  if (n == 1 || i + n > s.size()) { i += 1; return c; }
+  uint32_t cp = c & (0xFF >> (n + 1));
+  for (size_t k = 1; k < n; ++k) {
+    unsigned char cc = s[i + k];
+    if ((cc & 0xC0) != 0x80) { i += 1; return c; }  // malformed
+    cp = (cp << 6) | (cc & 0x3F);
+  }
+  i += n;
+  return cp;
+}
+
+inline void append_utf8(std::string& out, uint32_t cp) {
+  if (cp < 0x80) { out += (char)cp; return; }
+  if (cp < 0x800) {
+    out += (char)(0xC0 | (cp >> 6));
+    out += (char)(0x80 | (cp & 0x3F));
+    return;
+  }
+  if (cp < 0x10000) {
+    out += (char)(0xE0 | (cp >> 12));
+    out += (char)(0x80 | ((cp >> 6) & 0x3F));
+    out += (char)(0x80 | (cp & 0x3F));
+    return;
+  }
+  out += (char)(0xF0 | (cp >> 18));
+  out += (char)(0x80 | ((cp >> 12) & 0x3F));
+  out += (char)(0x80 | ((cp >> 6) & 0x3F));
+  out += (char)(0x80 | (cp & 0x3F));
 }
 
 const std::unordered_set<std::string>& stopwords_en() {
@@ -291,14 +364,19 @@ const std::unordered_set<std::string>& stopwords_en() {
 std::vector<std::string> tokenize(const std::string& text, bool stem) {
   std::vector<std::string> out;
   std::string cur;
+  size_t cur_cps = 0;  // token length in CODEPOINTS (python's \w\w+)
   auto flush = [&]() {
-    if (cur.size() >= 2 && !stopwords_en().count(cur))
+    if (cur_cps >= 2 && !stopwords_en().count(cur))
       out.push_back(stem ? porter2(cur) : cur);
     cur.clear();
+    cur_cps = 0;
   };
-  for (unsigned char c : text) {
-    if (is_word_char(c)) {
-      cur += (char)std::tolower(c);
+  size_t i = 0;
+  while (i < text.size()) {
+    uint32_t cp = next_cp(text, i);
+    if (is_word_cp(cp)) {
+      append_utf8(cur, lower_cp(cp));
+      ++cur_cps;
     } else {
       flush();
     }
@@ -502,35 +580,57 @@ int32_t mfar_bm25_save(void* handle, const char* path) {
 }
 
 void* mfar_bm25_load(const char* path) {
+  // Truncated/corrupt files must return nullptr (the python wrapper's
+  // failure path), never leak an exception through the C ABI: a
+  // length_error/bad_alloc escaping extern "C" into ctypes aborts the
+  // whole process.
   std::ifstream f(path, std::ios::binary);
   if (!f) return nullptr;
   auto* idx = new BM25();
-  int64_t v, nnz;
-  f.read((char*)&idx->n_docs, 4);
-  f.read((char*)&idx->k1, 8);
-  f.read((char*)&idx->b, 8);
-  f.read((char*)&v, 8);
-  f.read((char*)&nnz, 8);
-  idx->vocab.reserve(v);
-  for (int64_t i = 0; i < v; ++i) {
-    int32_t len, tid;
-    f.read((char*)&len, 4);
-    std::string term(len, '\0');
-    f.read(term.data(), len);
-    f.read((char*)&tid, 4);
-    idx->vocab.emplace(std::move(term), tid);
-  }
-  idx->indptr.resize(v + 1);
-  idx->doc_ids.resize(nnz);
-  idx->impacts.resize(nnz);
-  f.read((char*)idx->indptr.data(), (v + 1) * 8);
-  f.read((char*)idx->doc_ids.data(), nnz * 4);
-  f.read((char*)idx->impacts.data(), nnz * 4);
-  if (!f) {
+  try {
+    int64_t v = -1, nnz = -1;
+    f.read((char*)&idx->n_docs, 4);
+    f.read((char*)&idx->k1, 8);
+    f.read((char*)&idx->b, 8);
+    f.read((char*)&v, 8);
+    f.read((char*)&nnz, 8);
+    constexpr int64_t kMax = int64_t(1) << 40;  // sanity vs garbage headers
+    if (!f || idx->n_docs < 0 || v < 0 || nnz < 0 || v > kMax || nnz > kMax) {
+      delete idx;
+      return nullptr;
+    }
+    idx->vocab.reserve(v);
+    for (int64_t i = 0; i < v; ++i) {
+      int32_t len = -1, tid = 0;
+      f.read((char*)&len, 4);
+      if (!f || len < 0 || len > (1 << 24)) {
+        delete idx;
+        return nullptr;
+      }
+      std::string term(len, '\0');
+      f.read(term.data(), len);
+      f.read((char*)&tid, 4);
+      if (!f) {
+        delete idx;
+        return nullptr;
+      }
+      idx->vocab.emplace(std::move(term), tid);
+    }
+    idx->indptr.resize(v + 1);
+    idx->doc_ids.resize(nnz);
+    idx->impacts.resize(nnz);
+    f.read((char*)idx->indptr.data(), (v + 1) * 8);
+    f.read((char*)idx->doc_ids.data(), nnz * 4);
+    f.read((char*)idx->impacts.data(), nnz * 4);
+    if (!f) {
+      delete idx;
+      return nullptr;
+    }
+    return idx;
+  } catch (...) {
     delete idx;
     return nullptr;
   }
-  return idx;
 }
 
 // ----------------------------------------------------------------------

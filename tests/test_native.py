@@ -1,5 +1,7 @@
 """Native C++ engine parity against the python/scipy implementations."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -149,3 +151,49 @@ def test_bm25index_batched_postings_densify_like_scipy():
         np.add.at(dn[qi], ids_n[qi], vals_n[qi])
         np.add.at(dr[qi], ids_r[qi], vals_r[qi])
     np.testing.assert_allclose(dn, dr, rtol=1e-5, atol=1e-6)
+
+
+def test_tokenizer_unicode_parity_with_python():
+    """The C++ tokenizer must match the python (?u)\\b\\w\\w+\\b spec on
+    non-ASCII text: typographic punctuation splits tokens, accented
+    letters keep their words and lowercase correctly (old behavior glued
+    multi-byte punctuation into tokens and skipped non-ASCII lowercasing,
+    so native and scipy indexes diverged on any real-world corpus)."""
+    from mfar_tpu.sparse.tokenize import tokenize
+
+    cases = [
+        "foo—bar baz",          # em-dash
+        "don’t panic",          # curly apostrophe
+        "CAFÉ au lait",         # uppercase accent
+        "naïve résumé",
+        "price… unknown",       # ellipsis
+        "«quoted» words",  # guillemets
+        "中文、测试",  # CJK + ideographic comma
+        "emoji \U0001F600 test",
+        "Ηλιος Москва",
+        "x" * 100 + " longtoken",    # long-token stem parity
+        "é a xy",               # 1-codepoint words dropped (\w\w+)
+    ]
+    for text in cases:
+        assert native.native_tokenize(text) == list(tokenize(text, stem=True)), text
+
+
+def test_native_load_rejects_corrupt_index(tmp_path):
+    """A truncated/garbage index file must fail cleanly (python-level
+    error), not crash the process via an exception crossing the C ABI."""
+    import pytest
+
+    good = native.NativeBM25.create([t for _, t in DOCS])
+    path = str(tmp_path / "idx.bin")
+    good.save(path)
+    data = open(path, "rb").read()
+
+    trunc = str(tmp_path / "trunc.bin")
+    open(trunc, "wb").write(data[: len(data) // 2])
+    with pytest.raises(Exception):
+        native.NativeBM25.load(trunc)
+
+    garbage = str(tmp_path / "garbage.bin")
+    open(garbage, "wb").write(os.urandom(64))
+    with pytest.raises(Exception):
+        native.NativeBM25.load(garbage)
