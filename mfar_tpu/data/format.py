@@ -71,11 +71,11 @@ def format_dict(item_dict: Dict[str, Any]) -> str:
             elif isinstance(value[0], list):
                 raise NotImplementedError("Nested list not supported!")
             else:
-                segments.append(f"{key}: {', '.join(value)}")
+                segments.append(f"{key}: {', '.join(str(v) for v in value)}")
         elif isinstance(value, dict):
             segments.append(", ".join(f"{k}: {value[k]}" for k in value))
         else:
-            segments.append(", ".join(value))
+            segments.append(", ".join(str(v) for v in value))
     return "; ".join(segments)
 
 
@@ -95,7 +95,9 @@ def format_field_value(value: Any) -> str:
             return _format_list_of_dicts(value)
         if isinstance(value[0], list):
             raise NotImplementedError("Nested list not supported!")
-        return ", ".join(value)
+        # str-mapped: a numeric list (valid JSON) must not TypeError the
+        # corpus build; string lists render identically to the reference
+        return ", ".join(str(v) for v in value)
     return format_dict(value)
 
 
@@ -135,10 +137,6 @@ def format_stark(payload: Any, dataset_name: str) -> str:
     if dataset_name in ("whatsthatbook", "tomt"):
         return format_books(payload)
     raise ValueError("Select a valid STaRK dataset!")
-
-
-def format_stark_pairs(pairs: Iterable[Tuple[str, Any]], dataset_name: str) -> List[Tuple[str, str]]:
-    return [(doc_id, format_stark(payload, dataset_name)) for doc_id, payload in pairs]
 
 
 def format_amazon(data: Dict[str, Any]) -> str:

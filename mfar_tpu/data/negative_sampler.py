@@ -10,7 +10,7 @@ defaults -- lexically plausible but not trivially relevant), and sample
 
 from __future__ import annotations
 
-from typing import AbstractSet, List, Mapping, Optional
+from typing import AbstractSet, List, Optional
 
 import numpy as np
 

@@ -71,7 +71,13 @@ class QRes:
 
     @classmethod
     def from_str(cls, s: str) -> "QRes":
-        query_id, iteration, doc_id, rank, sim, run_id = s.split()
+        # Tab-split when tabs are present (our writer's format; ids may
+        # contain spaces), whitespace-split otherwise (the reference's
+        # parser, trec.py:54, and space-separated run files from other
+        # tools).
+        query_id, iteration, doc_id, rank, sim, run_id = (
+            s.split("\t") if "\t" in s else s.split()
+        )
         return cls(query_id, doc_id, float(sim), run_id, iteration, int(rank))
 
     @classmethod

@@ -71,6 +71,11 @@ def _gather_score_kernel(
     slot = jax.lax.rem(tile, 2)
 
     # Warm-up: the first tile of each query row starts its own DMA.
+    # Known perf nit (unmeasured; opt-in kernel): prefetch stops at row
+    # boundaries, exposing one HBM fetch latency per (query, row) -- a
+    # cross-row prefetch of (b+1, tile 0) at the last tile would hide it,
+    # but DMA/semaphore edits need real-TPU validation (interpret mode
+    # does not model deadlocks), so it is left for a hardware session.
     @pl.when(tile == 0)
     def _():
         for c in fetch(0, 0):

@@ -11,8 +11,7 @@ gradient psums and in-batch all-gathers the reference hand-wrote with NCCL.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
