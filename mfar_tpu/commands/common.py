@@ -168,7 +168,9 @@ def build_engine(args, label: str = "engine"):
     corpus = load_corpus(args.corpus, args.dataset_name)
     config, params, tokenizer = prepare_model(
         args.model_name, normalize=args.normalize,
-        corpus_texts=corpus_texts_for_vocab(corpus, field_info),
+        # only the synthetic path consumes corpus_texts (see train.py)
+        corpus_texts=corpus_texts_for_vocab(corpus, field_info)
+        if args.model_name.startswith("synthetic") else None,
     )
 
     mixer_params = {"weight": jnp.ones((1, len(field_info)), jnp.float32)}

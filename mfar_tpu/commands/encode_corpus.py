@@ -52,7 +52,8 @@ def main(argv=None) -> None:
     corpus = load_corpus(args.corpus, args.dataset_name)
     config, params, tokenizer = prepare_model(
         args.model_name, normalize=args.normalize,
-        corpus_texts=corpus_texts_for_vocab(corpus, field_info),
+        corpus_texts=corpus_texts_for_vocab(corpus, field_info)
+        if args.model_name.startswith("synthetic") else None,
     )
 
     if args.checkpoint_dir:

@@ -97,7 +97,8 @@ def main(argv=None) -> None:
     config, params, tokenizer = prepare_model(
         args.model_name,
         normalize=args.normalize,
-        corpus_texts=corpus_texts_for_vocab(corpus, field_info),
+        corpus_texts=corpus_texts_for_vocab(corpus, field_info)
+        if args.model_name.startswith("synthetic") else None,
     )
     sparse_indices = load_or_build_sparse_indices(corpus, field_info, args.lexical_index)
     neg_index = load_negative_sampler_index(corpus, args.lexical_index, args.dataset_name)

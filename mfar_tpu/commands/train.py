@@ -36,7 +36,7 @@ from mfar_tpu.commands.common import (  # noqa: F401
 from mfar_tpu.data import trec
 from mfar_tpu.data.negative_sampler import IndexNegativeSampler
 from mfar_tpu.data.schema import resolve_fields
-from mfar_tpu.models.registry import prepare_model
+from mfar_tpu.models.registry import is_t5_family, prepare_model
 from mfar_tpu.train.data_pipeline import ContrastiveDataset
 from mfar_tpu.train.model import MFARModel
 from mfar_tpu.train.optim import make_optimizer
@@ -82,8 +82,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "mesh-driven (--mesh / --n-model / --n-replica)")
     p.add_argument("--dev-by-iter", dest="dev_by_iter", action="store_true",
                    default=None,
-                   help="validate 5x per epoch (forced on for amazon, like "
+                   help="validate 5x per epoch (default on for amazon, like "
                         "the reference)")
+    p.add_argument("--no-dev-by-iter", dest="dev_by_iter",
+                   action="store_false",
+                   help="disable per-iteration validation (overrides the "
+                        "amazon default)")
     p.add_argument("--logger", default=None, choices=[None, "wandb", "mlflow", "mlflow_local"])
     p.add_argument("--wandb-name", default=None, help="wandb run display name")
     p.add_argument("--wandb-dir", default=None, help="wandb local artifact dir")
@@ -203,7 +207,10 @@ def main(argv=None) -> None:
     config, params, tokenizer = prepare_model(
         model_name,
         normalize=args.normalize,
-        corpus_texts=corpus_texts_for_vocab(corpus, field_info),
+        # only the synthetic path consumes corpus_texts; formatting every
+        # field of every document costs minutes + GBs at real corpus scale
+        corpus_texts=corpus_texts_for_vocab(corpus, field_info)
+        if model_name.startswith("synthetic") else None,
     )
     # Rematerialize encoder layers for full-size models: the train step runs
     # 1 + 2*|dense fields| encoder passes, whose un-remat activations blow
@@ -246,12 +253,18 @@ def main(argv=None) -> None:
         weights_lr=args.weights_lr,
         weight_decay=args.regularizer,
         freeze_encoder=args.freeze_encoder,
-        use_adafactor="t5" in model_name,
+        # keyed on the registry's ACTUAL T5 routing, not a substring of
+        # the path (a local T5 dir need not contain 't5'; an unrelated
+        # path might)
+        use_adafactor=is_t5_family(model_name),
     )
     state = init_state(model, optimizer, seed=args.seed % (2**31))
-    # Graft pretrained encoder weights over the random init.
-    state = state._replace(params={**state.params, "encoder": jax.tree.map(jnp.asarray, params)})
-    state = state._replace(opt_state=optimizer.init(state.params))
+    # Graft pretrained encoder weights over the random init; drop the
+    # stale optimizer moments BEFORE re-initializing them (both moment
+    # trees alive at once is an avoidable ~2x transient at encoder scale).
+    grafted = {**state.params, "encoder": jax.tree.map(jnp.asarray, params)}
+    state = state._replace(params=grafted, opt_state=None)
+    state = state._replace(opt_state=optimizer.init(grafted))
 
     mk_ds = lambda queries, qrels, max_len: ContrastiveDataset(
         queries, corpus, qrels, sampler, field_info, tokenizer,
@@ -276,6 +289,14 @@ def main(argv=None) -> None:
     if args.mesh == "auto" and (n_dev > 1 or args.n_model > 1 or args.n_replica > 1):
         from mfar_tpu.parallel.mesh import make_mesh
 
+        if args.n_replica > 1 and n_dev % (args.n_model * args.n_replica):
+            # uneven per-slice granules crash inside mesh_utils with a
+            # cryptic assertion; fail like mesh_from_flag does
+            raise SystemExit(
+                f"--n-model {args.n_model} x --n-replica {args.n_replica} "
+                f"must divide the {n_dev} visible devices for a multi-slice "
+                f"mesh"
+            )
         n_data = n_dev // (args.n_model * args.n_replica)
         if n_data < 1:
             raise SystemExit(

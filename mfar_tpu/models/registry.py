@@ -41,7 +41,7 @@ def prepare_model(
     retriever encoder and whose decoder comes from the matching
     ``google-t5/t5-{size}`` checkpoint.  See graft_t5_decoder.
     """
-    if "gtr-t5" in model_id or model_id.startswith("t5:") or _is_t5_dir(model_id):
+    if is_t5_family(model_id):
         out = _prepare_gtr(model_id, normalize=normalize, max_length=max_length,
                            dtype=dtype)
         if with_decoder:
@@ -76,6 +76,15 @@ def prepare_model(
     else:
         tokenizer = HFTokenizer.from_pretrained(tok_source, max_length)
     return config, params, tokenizer
+
+
+def is_t5_family(model_id: str) -> bool:
+    """True when :func:`prepare_model` routes this id to the T5 encoder
+    family -- the ONE routing gate (optimizer selection keys on it too:
+    T5 trains with Adafactor, reference contrastive.py:321)."""
+    return (
+        "gtr-t5" in model_id or model_id.startswith("t5:") or _is_t5_dir(model_id)
+    )
 
 
 def _is_t5_dir(model_id: str) -> bool:

@@ -51,7 +51,9 @@ class SimpleVocabTokenizer:
 
     @property
     def vocab_size(self) -> int:
-        return max(self.vocab.values()) + 1
+        # default covers an empty corpus vocab: the 4 reserved ids
+        # (PAD/UNK/CLS/SEP) always exist
+        return max(self.vocab.values(), default=3) + 1
 
     @classmethod
     def build(cls, texts: Sequence[str], max_vocab: int = 32768, max_length: int = 512):
@@ -133,8 +135,15 @@ class HFTokenizer:
         max_length = min(max_length or self.max_length, self.max_length)
         t = self.tokenizer
         if hasattr(t, "encode_batch"):  # tokenizers.Tokenizer
+            # Backend truncation (not a raw id slice): the post-processor
+            # then keeps [SEP] as the final token like the transformers
+            # branch below; no_padding() drops any padding config saved in
+            # the tokenizer.json, whose pad ids a raw slice would hand to
+            # the ones-mask loop as real tokens.
+            t.enable_truncation(max_length)
+            t.no_padding()
             encs = t.encode_batch(list(texts))
-            seqs = [e.ids[:max_length] for e in encs]
+            seqs = [e.ids for e in encs]
         else:  # transformers tokenizer
             out = t(list(texts), truncation=True, max_length=max_length)
             seqs = out["input_ids"]

@@ -43,7 +43,17 @@ def make_optimizer(
         encoder_opt = optax.set_to_zero()
     elif use_adafactor:
         # T5-style memory-frugal optimizer (reference:
-        # mfar/modeling/contrastive.py:321-341).
+        # mfar/modeling/contrastive.py:321-341).  The reference's Adafactor
+        # carries NO weight decay; surface (rather than silently drop) a
+        # requested regularizer.
+        if weight_decay:
+            import warnings
+
+            warnings.warn(
+                f"weight_decay={weight_decay} is ignored with adafactor "
+                f"(the reference's T5 optimizer has no decay either)",
+                stacklevel=2,
+            )
         encoder_opt = optax.adafactor(
             learning_rate=encoder_lr,
             multiply_by_parameter_scale=False,
@@ -52,7 +62,9 @@ def make_optimizer(
         )
     else:
         encoder_opt = optax.adamw(encoder_lr, weight_decay=weight_decay)
-    head_opt = optax.adamw(weights_lr)
+    # torch AdamW's DEFAULT weight_decay (the reference passes none for the
+    # head group, contrastive.py:343-347) is 0.01; optax's is 1e-4.
+    head_opt = optax.adamw(weights_lr, weight_decay=0.01)
     return optax.multi_transform(
         {"encoder": encoder_opt, "head": head_opt}, param_labels
     )
