@@ -63,10 +63,22 @@ def main(argv=None) -> None:
         index.set_safe_docs(safe_rows)
         print(f"Working on {field_key}...")
         scores = {}
+        skipped = []
         for qid, text in train_queries.items():
-            sparse = index.get_scores_sparse(text)
-            if sparse:
-                scores[int(qid)] = sparse
+            if not qid.isdigit():
+                # the artifact format keys queries by int id (the
+                # reference's npy layout); the trainer's cache gate
+                # tolerates non-digit ids by falling back to live scoring
+                skipped.append(qid)
+                continue
+            # An all-zero query must still be PRESENT in the artifact
+            # (explicit empty row): the trainer enables the cache only
+            # when every batch qid is covered, so one absent qid would
+            # silently disable the precompute for its whole batch.
+            scores[int(qid)] = index.get_scores_sparse(text)
+        if skipped:
+            print(f"  {len(skipped)} non-numeric query ids not cacheable "
+                  f"(e.g. {skipped[0]!r}); they will score live at train time")
         save_field_scores(args.output_path, field_key, scores)
         n = sum(len(v) for v in scores.values())
         print(f"{n} scores written to {args.output_path}/{field_key}_*_bm25.npy")

@@ -14,7 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 from mfar_tpu.utils.jsonutil import remove_irregularities
 
@@ -58,9 +58,14 @@ def convert(dataset_name: str, out: str, max_docs: int = -1) -> None:
         indices = indices[:max_docs]
     os.makedirs(out, exist_ok=True)
 
-    neighbor_cache: Dict = {}
+    # Only MAG re-queries nodes (authors shared across papers); caching for
+    # other datasets pins every neighbor list in memory for zero hits (the
+    # reference disables its cache off-mag for the same reason).
+    neighbor_cache: Optional[Dict] = {} if dataset_name == "mag" else None
 
     def neighbors_of(idx, edge_type):
+        if neighbor_cache is None:
+            return skb.get_neighbor_nodes(idx, edge_type)
         key = (idx, edge_type)
         if key not in neighbor_cache:
             neighbor_cache[key] = skb.get_neighbor_nodes(idx, edge_type)
@@ -77,33 +82,46 @@ def convert(dataset_name: str, out: str, max_docs: int = -1) -> None:
             if edge_type not in fields and edge_type != "author___writes___paper":
                 continue
             if edge_type == "author___writes___paper" and dataset_name == "mag":
-                # two-hop: author -> institutions, keyed by author display name
+                # Two-hop author -> institution join, reference-exact
+                # (reference stark_to_trec.py:77-114): the author-name LIST
+                # is emitted too, each author keeps only its LAST
+                # institution (the reference's overwrite loop), and
+                # institutionless authors are OMITTED from the join.
                 authors = neighbors_of(idx, edge_type)
+                edge_info[edge_type] = [
+                    name for name in (
+                        skb.node_info[a][fields[edge_type]] for a in authors
+                    ) if name not in (-1, "-1")
+                ]
                 joined = {}
                 for author in authors:
                     name = skb.node_info[author][fields[edge_type]]
                     if name in (-1, "-1"):
                         continue
                     insts = neighbors_of(author, "author___affiliated_with___institution")
-                    joined[name] = [
-                        attr_text(i, "author___affiliated_with___institution") for i in insts
-                    ]
+                    if len(insts):
+                        joined[name] = [
+                            attr_text(insts[-1], "author___affiliated_with___institution")
+                        ]
                 edge_info["author___affiliated_with___institution"] = joined
             elif edge_type in fields:
                 neigh = neighbors_of(idx, edge_type)
                 if dataset_name == "prime":
-                    # group neighbor texts by node type
+                    # group neighbor texts by node type; a relation with no
+                    # neighbors is ABSENT (the reference never creates the
+                    # key; a present-but-empty dict would inject spurious
+                    # 'relation: {}' lines into every formatted document)
                     grouped: Dict[str, List] = {}
                     for n, ntype in zip(neigh, skb.node_types[neigh].tolist()):
                         grouped.setdefault(skb.node_type_dict[ntype], []).append(
                             attr_text(n, edge_type)
                         )
-                    edge_info[edge_type] = grouped
+                    if grouped:
+                        edge_info[edge_type] = grouped
                 else:
+                    texts = (attr_text(n, edge_type) for n in neigh)
                     edge_info[edge_type] = [
-                        attr_text(n, edge_type)
-                        for n in neigh
-                        if attr_text(n, edge_type) not in (-1, "-1")
+                        t for t in texts if t not in (-1, "-1")
                     ]
         doc = remove_irregularities({**node_info, **edge_info})
         lines.append(f"{idx}\t{json.dumps(doc, ensure_ascii=False)}")

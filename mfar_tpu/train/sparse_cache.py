@@ -26,6 +26,14 @@ def save_field_scores(
 ) -> None:
     keys, vals = [], []
     for qid, per_doc in scores.items():
+        if not per_doc:
+            # Sentinel row: a query whose scores are ALL zero must still be
+            # present after the round-trip (the trainer enables the cache
+            # only when every batch qid is covered); doc_id -1 never
+            # matches a real row and the loader drops it.
+            keys.append((int(qid), -1))
+            vals.append(0.0)
+            continue
         for doc_id, score in per_doc.items():
             keys.append((int(qid), int(doc_id)))
             vals.append(score)
@@ -53,7 +61,9 @@ def load_field_scores(scores_dir: str, field_key: str) -> Dict[int, Dict[int, fl
     bounds = list(starts) + [len(keys)]
     for i, qid in enumerate(qids):
         lo, hi = bounds[i], bounds[i + 1]
-        out[int(qid)] = dict(zip(keys[lo:hi, 1].tolist(), vals[lo:hi].tolist()))
+        row = dict(zip(keys[lo:hi, 1].tolist(), vals[lo:hi].tolist()))
+        row.pop(-1, None)  # empty-query sentinel (see save_field_scores)
+        out[int(qid)] = row
     return out
 
 

@@ -31,10 +31,13 @@ class Timer:
             self.phases[name] = self.phases.get(name, 0.0) + dt
             self.counts[name] = self.counts.get(name, 0) + 1
 
-    def report(self) -> str:
-        return json.dumps(
-            {name: round(self.phases[name], 4) for name in sorted(self.phases)}
-        )
+    def report(self, with_counts: bool = False) -> str:
+        """Total seconds per phase; ``with_counts`` appends 'name_n' call
+        counts (so per-call averages are derivable from one report)."""
+        out = {name: round(self.phases[name], 4) for name in sorted(self.phases)}
+        if with_counts:
+            out.update({f"{name}_n": self.counts[name] for name in sorted(self.counts)})
+        return json.dumps(out)
 
 
 @contextlib.contextmanager

@@ -22,10 +22,11 @@ def emph(s: str) -> str:
 
 
 def _by_query(qres):
-    out = {}
+    # rank by sim (trec_eval semantics), not run-file line order
+    rows = {}
     for item in qres:
-        out.setdefault(item.query_id, []).append(item.doc_id)
-    return out
+        rows.setdefault(item.query_id, []).append((-item.sim, item.doc_id))
+    return {q: [d for _, d in sorted(r)] for q, r in rows.items()}
 
 
 def main(argv=None) -> None:

@@ -4,7 +4,7 @@ the budgets in mfar_tpu/data/schema.py were derived this way).
 
 Usage:
     python scripts/corpus_stats.py --corpus DS --dataset-name amazon \
-        --field-names all_dense [--tokenizer synthetic]
+        --field-names all_dense [--tokenizer whitespace|<hf-id>]
 """
 
 from __future__ import annotations
@@ -42,9 +42,15 @@ def main(argv=None) -> None:
         from mfar_tpu.models.tokenizer import HFTokenizer
 
         tok = HFTokenizer.from_pretrained(args.tokenizer, max_length=1 << 20)
-        count = lambda text: int(
-            tok.encode_batch([text], max_length=1 << 20)["attention_mask"].sum()
-        )
+        # count from the unpadded encoding: encode_batch pads to a width
+        # bucket, which allocates megabytes of zeros per long document
+        # just to sum a mask
+        t = tok.tokenizer
+        if hasattr(t, "encode"):  # tokenizers.Tokenizer
+            t.no_truncation()
+            count = lambda text: len(t.encode(text).ids)
+        else:  # transformers tokenizer
+            count = lambda text: len(t(text)["input_ids"])
 
     print("field," + ",".join(f"p{p_}" for p_ in PERCENTILES))
     seen_names = set()

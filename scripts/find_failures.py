@@ -29,9 +29,12 @@ def main(argv=None) -> None:
     gold = {}
     for item in trec.QRels.from_file(f"{args.data_path}/{args.partition}.qrels"):
         gold.setdefault(item.query_id, set()).add(item.doc_id)
-    pred = {}
+    # Rank by sim (trec_eval re-ranks by score; run-file line order is
+    # not trustworthy for externally produced files)
+    by_q = {}
     for item in trec.QRes.from_file(args.qres_path):
-        pred.setdefault(item.query_id, []).append(item.doc_id)
+        by_q.setdefault(item.query_id, []).append((-item.sim, item.doc_id))
+    pred = {q: [d for _, d in sorted(rows)] for q, rows in by_q.items()}
 
     for query_id, gold_set in gold.items():
         if query_id not in pred:

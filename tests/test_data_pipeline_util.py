@@ -81,3 +81,15 @@ def test_num_batches_matches_epoch_batches():
         for drop in (True, False):
             want = len(list(ds.epoch_batches(bs, seed=0, drop_remainder=drop)))
             assert ds.num_batches(bs, drop_remainder=drop) == want, (bs, drop)
+
+
+def test_sparse_cache_empty_query_rows_survive_roundtrip(tmp_path):
+    """A query whose scores are all zero must stay PRESENT through the npy
+    round-trip (the trainer enables the precomputed cache only when every
+    batch qid is covered; an absent qid silently disabled it per batch)."""
+    from mfar_tpu.train.sparse_cache import load_field_scores, save_field_scores
+
+    save_field_scores(str(tmp_path), "f", {1: {2: 0.5, 3: 1.25}, 7: {}})
+    out = load_field_scores(str(tmp_path), "f")
+    assert out[7] == {}
+    assert out[1] == {2: 0.5, 3: 1.25}
