@@ -48,7 +48,8 @@ class Query:
     def from_gzipped(cls, path: str) -> Iterator["Query"]:
         with gzip.open(path, "rt") as f:
             for line in f:
-                yield cls.from_json(line.strip())
+                if line.strip():  # skip blank/trailing lines (cf. trec.py)
+                    yield cls.from_json(line.strip())
 
 
 def random_chunk_text(text: str, max_length: int, rng: Optional[np.random.Generator]) -> str:

@@ -32,7 +32,7 @@ from mfar_tpu.models.t5_encoder import (
     RMSNorm,
     T5Config,
     T5Encoder,
-    relative_position_bucket,
+    _np,
 )
 
 
@@ -222,17 +222,15 @@ _DEC_FFN_MAP = {
 _DEC_LN_MAP = {"ln1": "layer.0", "ln2": "layer.1", "ln3": "layer.2"}
 
 
-def _np(t) -> np.ndarray:
-    if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t)
-
-
 def convert_hf_t5_decoder(state_dict: Mapping[str, Any], config: T5Config) -> Dict:
     """Decoder subtree of a HF T5ForConditionalGeneration state_dict."""
     sd = {k.removeprefix("decoder."): v for k, v in state_dict.items() if k.startswith("decoder.")}
     params: Dict[str, Any] = {
-        "token_embed": {"embedding": _np(state_dict["shared.weight"])},
+        "token_embed": {"embedding": _np(
+            state_dict["shared.weight"] if "shared.weight" in state_dict
+            else sd["embed_tokens.weight"]  # tied alias absent (see
+            #   convert_hf_t5)
+        )},
         "rel_bias": _np(sd["block.0.layer.0.SelfAttention.relative_attention_bias.weight"]),
         "final_ln": {"weight": _np(sd["final_layer_norm.weight"])},
     }

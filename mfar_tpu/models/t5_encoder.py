@@ -235,7 +235,9 @@ def _np(t) -> np.ndarray:
 def convert_hf_t5(state_dict: Mapping[str, Any], config: T5Config) -> Dict:
     sd = {k.removeprefix("encoder."): v for k, v in state_dict.items()}
     if "shared.weight" not in sd:
-        sd["shared.weight"] = state_dict["shared.weight"]
+        # tied-embedding alias absent (submodule save / dedup'd
+        # safetensors): the de-prefixed embed_tokens holds the same tensor
+        sd["shared.weight"] = sd["embed_tokens.weight"]
 
     params: Dict[str, Any] = {
         "token_embed": {"embedding": _np(sd["shared.weight"])},

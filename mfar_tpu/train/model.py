@@ -47,7 +47,13 @@ class FieldMixer(nn.Module):
     def weights_of(params: Dict, q: Optional[jax.Array]) -> jax.Array:
         """Softmax field weights from a param subtree (serving path)."""
         w = params["weight"]
-        if w.shape[0] > 1 and q is not None:
+        if w.shape[0] > 1:
+            if q is None:
+                # softmax(w[0]) would be the weights conditioned on one
+                # arbitrary embedding dimension -- plausible-looking garbage
+                raise ValueError(
+                    f"query-conditioned mixer ({w.shape}) needs q"
+                )
             logits = jnp.dot(q.astype(jnp.float32), w)
         else:
             logits = jnp.broadcast_to(w[:1], (q.shape[0] if q is not None else 1, w.shape[1]))
