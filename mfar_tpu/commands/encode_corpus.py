@@ -90,8 +90,8 @@ def main(argv=None) -> None:
         encode, tokenizer, corpus, dense_fields,
         batch_size=args.batch_size, prefix=args.prefix,
     )
-    save_dense_matrix(args.out, matrix, list(corpus.keys()))
-    print(f"Encoded {matrix.shape[0]} docs x {matrix.shape[1]} fields x {matrix.shape[2]} dims -> {args.out}")
+    out_path = save_dense_matrix(args.out, matrix, list(corpus.keys()))
+    print(f"Encoded {matrix.shape[0]} docs x {matrix.shape[1]} fields x {matrix.shape[2]} dims -> {out_path}")
 
 
 if __name__ == "__main__":

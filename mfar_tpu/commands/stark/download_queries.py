@@ -26,7 +26,11 @@ def download(dataset_name: str, out: str, max_docs=None) -> None:
             "Use mfar_tpu.commands.make_synth_data for an offline dataset."
         ) from e
 
-    if max_docs is not None and int(max_docs) == -1:
+    # coerce ONCE (the reference Fire CLI does int(max_docs)): '0' must be
+    # falsy like the reference's 0 (no filtering), bad values must fail
+    # before any file is written
+    max_docs = None if max_docs is None else int(max_docs)
+    if max_docs == -1:
         max_docs = None
     qa = load_qa(name=dataset_name)
     os.makedirs(out, exist_ok=True)
@@ -42,7 +46,7 @@ def download(dataset_name: str, out: str, max_docs=None) -> None:
                 query = remove_irregularities(row.query)
                 answer_ids = set(json.loads(row.answer_ids))
                 if max_docs:
-                    answer_ids = {a for a in answer_ids if a < int(max_docs)}
+                    answer_ids = {a for a in answer_ids if a < max_docs}
                 if answer_ids:
                     print(f"{idx}\t{query}", file=fq)
                     n_q += 1

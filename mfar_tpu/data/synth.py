@@ -29,7 +29,10 @@ def make_amazon_corpus(n_docs: int = 40, seed: int = 0) -> Corpus:
     for i in range(n_docs):
         adj = _ADJ[i % len(_ADJ)]
         noun = _NOUN[(i // len(_ADJ)) % len(_NOUN)]
-        verb = _VERB[int(rng.integers(len(_VERB)))]
+        # deterministic, period-1000 jointly with adj/noun (an rng-drawn verb
+        # collided for docs i and i+100, yielding identical queries with
+        # different gold documents)
+        verb = _VERB[(i + i // (len(_ADJ) * len(_NOUN))) % len(_VERB)]
         payload = {
             "title": f"{adj} {noun} model {i}",
             "brand": f"brand{i % 7}",
@@ -57,7 +60,10 @@ def make_mag_corpus(n_docs: int = 40, seed: int = 0) -> Corpus:
     docs = []
     for i in range(n_docs):
         adj, noun = _ADJ[i % len(_ADJ)], _NOUN[(i // len(_ADJ)) % len(_NOUN)]
-        verb = _VERB[int(rng.integers(len(_VERB)))]
+        # deterministic, period-1000 jointly with adj/noun (an rng-drawn verb
+        # collided for docs i and i+100, yielding identical queries with
+        # different gold documents)
+        verb = _VERB[(i + i // (len(_ADJ) * len(_NOUN))) % len(_VERB)]
         topic = topics[i % len(topics)]
         payload = {
             "type": "paper",
@@ -79,7 +85,10 @@ def make_prime_corpus(n_docs: int = 40, seed: int = 0) -> Corpus:
     docs = []
     for i in range(n_docs):
         adj, noun = _ADJ[i % len(_ADJ)], _NOUN[(i // len(_ADJ)) % len(_NOUN)]
-        verb = _VERB[int(rng.integers(len(_VERB)))]
+        # deterministic, period-1000 jointly with adj/noun (an rng-drawn verb
+        # collided for docs i and i+100, yielding identical queries with
+        # different gold documents)
+        verb = _VERB[(i + i // (len(_ADJ) * len(_NOUN))) % len(_VERB)]
         payload = {
             "name": f"{adj.upper()}{noun.upper()}{i}",
             "type": kinds[i % len(kinds)],
@@ -100,7 +109,10 @@ def make_wtb_corpus(n_docs: int = 40, seed: int = 0) -> Corpus:
     docs = []
     for i in range(n_docs):
         adj, noun = _ADJ[i % len(_ADJ)], _NOUN[(i // len(_ADJ)) % len(_NOUN)]
-        verb = _VERB[int(rng.integers(len(_VERB)))]
+        # deterministic, period-1000 jointly with adj/noun (an rng-drawn verb
+        # collided for docs i and i+100, yielding identical queries with
+        # different gold documents)
+        verb = _VERB[(i + i // (len(_ADJ) * len(_NOUN))) % len(_VERB)]
         payload = {
             "id": str(i),
             "title": f"the {adj} {noun}",
@@ -153,6 +165,12 @@ def make_queries_and_qrels(
     rng = np.random.default_rng(seed)
     queries: Dict[str, str] = {}
     qrels: List[trec.QRels] = []
+    if n_queries > len(corpus):
+        raise ValueError(
+            f"requested {n_queries} queries from a {len(corpus)}-doc corpus "
+            f"(each query has one distinct gold document); raise n_docs or "
+            f"lower n_train/n_val"
+        )
     doc_ids = rng.permutation(len(corpus))[:n_queries]
     for qi, di in enumerate(doc_ids):
         doc = corpus.docs[int(di)]
@@ -176,11 +194,12 @@ def write_dataset_dir(path: str, corpus: Corpus, n_train: int = 10, n_val: int =
         "test": qids[n_train + n_val :],
     }
     for split, ids in splits.items():
+        ids_set = set(ids)
         with open(os.path.join(path, f"{split}.queries"), "w") as f:
             for qid in ids:
                 f.write(f"{qid}\t{queries[qid]}\n")
         trec.write_qrels(
             os.path.join(path, f"{split}.qrels"),
-            [r for r in qrels if r.query_id in set(ids)],
+            [r for r in qrels if r.query_id in ids_set],
         )
     return splits

@@ -11,6 +11,8 @@ device_put sharded over the mesh data axis and stays HBM-resident.
 
 from __future__ import annotations
 
+import os
+
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -74,21 +76,24 @@ def make_encode_fn(encoder, params, mesh=None) -> Callable:
         lambda p, ids, mask: encoder.apply({"params": p}, ids, mask),
         out_shardings=out_shardings,
     )
-    jparams = jax.tree.map(jnp.asarray, params)
 
     if mesh is None:
+        jparams = jax.tree.map(jnp.asarray, params)
+
         def encode(ids, mask):
             return jit_encode(jparams, ids, mask)
 
         return encode
 
-    # Params replicate onto the mesh: checkpoint-restored (or jit-created)
-    # params arrive committed to one device, and mixing them with
-    # mesh-sharded batches is a device-set mismatch.
+    # Params replicate onto the mesh in ONE transfer (an eager asarray
+    # first would commit the whole tree to the default device and then
+    # re-transfer it): checkpoint-restored (or jit-created) params arrive
+    # committed to one device, and mixing them with mesh-sharded batches
+    # is a device-set mismatch.
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     rep = NamedSharding(mesh, P())
-    jparams = jax.tree.map(lambda x: jax.device_put(x, rep), jparams)
+    jparams = jax.tree.map(lambda x: jax.device_put(x, rep), params)
     shard = make_batch_sharder(mesh)
 
     def encode_sharded(ids, mask):
@@ -177,10 +182,18 @@ def build_sparse_indices(
     return out
 
 
-def save_dense_matrix(path: str, matrix: np.ndarray, keys: Sequence[str]) -> None:
+def save_dense_matrix(path: str, matrix: np.ndarray, keys: Sequence[str]) -> str:
+    """Returns the ACTUAL path written: np.savez appends .npz to a bare
+    path, which previously broke the save -> --dense-index round-trip
+    (the printed path did not exist)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     np.savez(path, matrix=matrix, keys=np.asarray(list(keys), dtype=object))
+    return path
 
 
 def load_dense_matrix(path: str) -> Tuple[np.ndarray, List[str]]:
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"  # tolerate the bare spelling
     data = np.load(path, allow_pickle=True)
     return data["matrix"], list(data["keys"])

@@ -176,7 +176,11 @@ class CheckpointManager:
         )
 
     def restore_meta(self, step: Optional[int] = None) -> Dict[str, Any]:
-        step = step if step is not None else self.best_step() or self.latest_step()
+        if step is None:
+            best = self.best_step()  # step 0 is a valid best -- no `or`
+            step = best if best is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {self.out_dir}")
         with open(os.path.join(self._step_dir(step), "meta.json")) as f:
             return json.load(f)
 

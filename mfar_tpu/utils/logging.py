@@ -45,16 +45,20 @@ class MetricsLogger:
                 wandb.init(project=run_name or "mfar_tpu", name=wandb_name,
                            dir=wandb_dir)
                 self.backend = ("wandb", wandb)
-            except ImportError:
-                print("[logging] wandb not installed; using JSONL only")
+            except Exception as e:  # noqa: BLE001 -- not installed, not
+                # logged in, offline, ...: the backend is an attachment,
+                # never a reason to kill training at startup
+                print(f"[logging] wandb unavailable ({type(e).__name__}: "
+                      f"{e}); using JSONL only")
         elif backend in ("mlflow", "mlflow_local"):
             try:
                 import mlflow
 
                 mlflow.start_run(run_name=run_name)
                 self.backend = ("mlflow", mlflow)
-            except ImportError:
-                print("[logging] mlflow not installed; using JSONL only")
+            except Exception as e:  # noqa: BLE001 -- see the wandb branch
+                print(f"[logging] mlflow unavailable ({type(e).__name__}: "
+                      f"{e}); using JSONL only")
 
     def log_hyperparams(self, params: Dict[str, Any]) -> None:
         flat = {k: v for k, v in params.items() if not isinstance(v, dict)}
