@@ -1,0 +1,99 @@
+"""Pallas rerank-gather experiment:
+python benchmarks/exp_pallas.py [VARIANT] [N] [B] [C]
+
+VARIANT: xla | pallas | xrow | all (default all).  Validates each variant
+against the XLA gather+einsum reference on a small id slice, then times the
+full [B, C] candidate gather+score at rerank shapes.  ``xrow`` is the
+cross-row DMA prefetch (see ops/pallas_kernels.py) -- run this ONCE on real
+hardware before flipping its default.
+
+One variant still shares the process (same corpus, sequential jits) because
+every program here is a single pallas_call / jit with one scalar fetch --
+the shapes are tiny next to the top-k scans, so the relay-wedging risk that
+forces one-config-per-process elsewhere does not apply.  Keep N modest:
+the kernel wants an f32 corpus ([N, 1, F*E] row view), 262144 rows at
+F*E=3840 is ~4 GB HBM.
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+F, E = 5, 768
+K_WARM = 1  # compile+warm passes before timing
+
+
+def main():
+    from mfar_tpu.utils.compile_cache import enable as _cc
+
+    _cc()
+    variant = sys.argv[1] if len(sys.argv) > 1 else "all"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
+    b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    c = int(sys.argv[4]) if len(sys.argv) > 4 else 128
+
+    from mfar_tpu.ops.pallas_kernels import (
+        gather_per_field_scores_pallas,
+        gather_per_field_scores_xla,
+        make_row_dma_view,
+    )
+
+    interpret = jax.default_backend() != "tpu"
+    docs = jax.random.normal(jax.random.PRNGKey(0), (n, F * E), jnp.float32)
+    q = jax.random.normal(jax.random.PRNGKey(1), (b, E), jnp.float32)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (b, c), 0, n, jnp.int32)
+
+    runners = {}
+    if variant in ("xla", "all"):
+        xla_fn = jax.jit(
+            lambda q, d, i: gather_per_field_scores_xla(q, d, i).sum()
+        )
+        runners["xla"] = lambda: float(xla_fn(q, docs, ids))
+    if variant in ("pallas", "xrow", "all"):
+        rows = make_row_dma_view(docs)
+        for name, xr in (("pallas", False), ("xrow", True)):
+            if variant not in (name, "all"):
+                continue
+            fn = jax.jit(
+                lambda q, r, i, xr=xr: gather_per_field_scores_pallas(
+                    q, r, i, F, interpret=interpret, cross_row_prefetch=xr
+                ).sum()
+            )
+            runners[name] = lambda fn=fn: float(fn(q, rows, ids))
+
+    # Correctness first: full-output comparison vs the XLA reference.
+    want = np.asarray(gather_per_field_scores_xla(q, docs, ids))
+    for name, xr in (("pallas", False), ("xrow", True)):
+        if variant in (name, "all"):
+            got = np.asarray(
+                gather_per_field_scores_pallas(
+                    q, make_row_dma_view(docs), ids, F,
+                    interpret=interpret, cross_row_prefetch=xr,
+                )
+            )
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+            print(f"{name}: matches XLA on [{b}, {c}, {F}]", flush=True)
+
+    for name, run in runners.items():
+        t0 = time.perf_counter()
+        for _ in range(K_WARM):
+            run()
+        print(f"{name}: compile+warm {time.perf_counter() - t0:.1f}s", flush=True)
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        dt = min(times)
+        print(
+            f"{name}: N={n} B={b} C={c} -> {dt * 1e3:.2f} ms/batch "
+            f"({b / dt:.0f} qps gather-score only)",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -59,4 +59,9 @@ run server_n1m 900 python benchmarks/exp_server.py 1048576 256 64 30
 # 4. Train step with the recommended flags (726 ms/step claimed).
 run train_step 900 python benchmarks/exp_train_step.py bf16sm
 
+# 5. Pallas rerank gather: validate + price the cross-row DMA prefetch
+#    (ops/pallas_kernels.py cross_row_prefetch -- flip its default if xrow
+#    is correct AND faster here).
+run pallas_gather 600 python benchmarks/exp_pallas.py all 262144 256 128
+
 say "campaign complete -- results in $LOG"

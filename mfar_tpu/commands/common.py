@@ -117,6 +117,9 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--use-pallas-gather", action="store_true",
                    help="Pallas DMA rerank gather (faster stage-2; keeps a "
                         "second corpus copy in HBM -- see ops/pallas_kernels.py)")
+    p.add_argument("--pallas-cross-row", action="store_true",
+                   help="cross-row DMA prefetch in the Pallas rerank kernel "
+                        "(removes the per-query warm-up stall); experimental")
     p.add_argument("--dense-topk", default="exact", choices=["exact", "approx"],
                    help="dense top-k selection in exact mode: exact sort, or "
                         "the TPU PartialReduce (recall>=0.95, ~2x faster at "
@@ -225,6 +228,7 @@ def build_engine(args, label: str = "engine"):
         sparse_indices={k: sparse_indices[k] for k in sparse_keys(field_info)},
         recall_k=args.recall_k,
         use_pallas_gather=args.use_pallas_gather,
+        pallas_cross_row=args.pallas_cross_row,
         quantize=args.quantize,
         mesh=mesh,
         corpus_per_slice=args.corpus_per_slice,

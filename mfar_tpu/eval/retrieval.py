@@ -81,6 +81,9 @@ class RetrievalEngine:
         recall_k: int = 100,
         mask: Optional[np.ndarray] = None,  # [Ftot] field ablation mask
         use_pallas_gather: bool = False,  # opt-in Pallas rerank (see ops/pallas_kernels.py)
+        pallas_cross_row: bool = False,  # cross-row DMA prefetch inside the
+        #   Pallas rerank kernel (no per-query warm-up stall); opt-in until
+        #   validated on real TPU hardware
         quantize: Optional[str] = None,  # "int8": half corpus HBM (2x docs/chip),
         #                                  ~0.5% score precision trade
         mesh=None,  # jax.sharding.Mesh: shard the corpus + distribute the scans
@@ -109,6 +112,7 @@ class RetrievalEngine:
         self.dense_keys = dense_keys(field_info)
         self.sparse_keys = sparse_keys(field_info)
         self.mask = mask
+        self.pallas_cross_row = pallas_cross_row
         self.n_docs = len(self.doc_keys)
         self.mesh = mesh
         assert mode in ("auto", "exact", "rerank"), mode
@@ -896,6 +900,7 @@ class RetrievalEngine:
                 dense_scores = gather_per_field_scores_pallas(
                     q.astype(jnp.float32), self.docs_rows, cand_j.astype(jnp.int32), fd,
                     interpret=jax.default_backend() != "tpu",
+                    cross_row_prefetch=self.pallas_cross_row,
                 )
             else:
                 if self.docs_q is not None:  # dequantize just the candidates

@@ -49,16 +49,21 @@ def _gather_score_kernel(
     c_total: int,
     num_fields: int,
     emb: int,
+    cross_row_prefetch: bool,
 ):
     b = pl.program_id(0)
     tile = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
-    def fetch(slot, tile_idx):
+    def fetch(slot, gidx):
         # One DMA per candidate row in the tile (rows are scattered in HBM).
+        # ``gidx`` is the GLOBAL tile index b*n_tiles + tile: since
+        # c_total == n_tiles*TILE_C, the flat ids offset b*c_total +
+        # tile*TILE_C collapses to gidx*TILE_C, which also addresses the
+        # first tile of the NEXT query row when gidx crosses a row boundary.
         copies = []
         for j in range(TILE_C):
-            doc_id = ids_ref[b * c_total + tile_idx * TILE_C + j]
+            doc_id = ids_ref[gidx * TILE_C + j]
             copies.append(
                 pltpu.make_async_copy(
                     docs_ref.at[doc_id],
@@ -68,26 +73,40 @@ def _gather_score_kernel(
             )
         return copies
 
-    slot = jax.lax.rem(tile, 2)
+    if cross_row_prefetch:
+        # Slot parity follows the global tile index, so the double-buffer
+        # alternates seamlessly across row boundaries: the last tile of row
+        # b prefetches (b+1, tile 0) and no per-row warm-up stall remains.
+        g = b * n_tiles + tile
+        slot = jax.lax.rem(g, 2)
 
-    # Warm-up: the first tile of each query row starts its own DMA.
-    # Known perf nit (unmeasured; opt-in kernel): prefetch stops at row
-    # boundaries, exposing one HBM fetch latency per (query, row) -- a
-    # cross-row prefetch of (b+1, tile 0) at the last tile would hide it,
-    # but DMA/semaphore edits need real-TPU validation (interpret mode
-    # does not model deadlocks), so it is left for a hardware session.
-    @pl.when(tile == 0)
-    def _():
-        for c in fetch(0, 0):
-            c.start()
+        @pl.when(g == 0)
+        def _():
+            for c in fetch(0, 0):
+                c.start()
 
-    # Prefetch the next tile into the other slot while this one computes.
-    @pl.when(tile + 1 < n_tiles)
-    def _():
-        for c in fetch(1 - slot, tile + 1):
-            c.start()
+        @pl.when(g + 1 < pl.num_programs(0) * n_tiles)
+        def _():
+            for c in fetch(1 - slot, g + 1):
+                c.start()
+    else:
+        # Row-local prefetch: each query row warms up its own first tile,
+        # exposing one HBM fetch latency per (query, row).  Kept as the
+        # default until the cross-row variant is validated on real TPU
+        # hardware (interpret mode does not model DMA deadlocks).
+        slot = jax.lax.rem(tile, 2)
 
-    for c in fetch(slot, tile):
+        @pl.when(tile == 0)
+        def _():
+            for c in fetch(0, b * n_tiles):
+                c.start()
+
+        @pl.when(tile + 1 < n_tiles)
+        def _():
+            for c in fetch(1 - slot, b * n_tiles + tile + 1):
+                c.start()
+
+    for c in fetch(slot, b * n_tiles + tile):
         c.wait()
 
     q = q_ref[b]  # [E]
@@ -119,10 +138,16 @@ def gather_per_field_scores_pallas(
     cand_ids: jax.Array,  # [B, C] i32, C % TILE_C == 0
     num_fields: int,
     interpret: bool = False,
+    cross_row_prefetch: bool = False,
 ) -> jax.Array:  # [B, C, F]
     """Reads candidate rows in place via double-buffered DMA -- no
     [B, C, F*E] gather materialized in HBM (~3x less rerank HBM traffic
-    than the XLA gather+einsum)."""
+    than the XLA gather+einsum).
+
+    ``cross_row_prefetch=True`` keys the double-buffer slot off the global
+    tile index so the prefetch window crosses query-row boundaries (no
+    per-row warm-up stall); opt-in until validated on real TPU hardware.
+    """
     b, e = q.shape
     if docs_rows.ndim == 2:
         docs_rows = make_row_dma_view(docs_rows)
@@ -152,7 +177,8 @@ def gather_per_field_scores_pallas(
         ],
     )
     kernel = functools.partial(
-        _gather_score_kernel, c_total=c, num_fields=num_fields, emb=e
+        _gather_score_kernel, c_total=c, num_fields=num_fields, emb=e,
+        cross_row_prefetch=cross_row_prefetch,
     )
     return pl.pallas_call(
         kernel,

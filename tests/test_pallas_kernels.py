@@ -44,6 +44,18 @@ def test_gather_score_duplicate_and_boundary_ids(data):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_tiles", [1, 2, 3])  # odd counts stress slot parity
+def test_gather_score_cross_row_prefetch(data, n_tiles):
+    q, docs, _ = data
+    rng = np.random.default_rng(7)
+    ids = jnp.asarray(rng.integers(0, N, size=(B, n_tiles * TILE_C)), jnp.int32)
+    got = gather_per_field_scores_pallas(
+        q, docs.reshape(N, F * E), ids, F, interpret=True, cross_row_prefetch=True
+    )
+    want = gather_per_field_scores_xla(q, docs, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
 def test_rejects_unaligned_candidate_width(data):
     q, docs, _ = data
     bad = jnp.zeros((B, TILE_C + 1), jnp.int32)
