@@ -24,6 +24,21 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# The TPU-tunnel PJRT plugin is registered at interpreter start (axon
+# sitecustomize), and jax initializes every REGISTERED plugin when it first
+# builds the backend registry -- even under jax_platforms=cpu.  When the
+# tunnel is half-dead that init HANGS for minutes in every process, so drop
+# the factory before any test touches jax.devices().  Best-effort: the
+# attribute is jax-internal, and a missing factory only means the plugin was
+# never registered (e.g. PALLAS_AXON_POOL_IPS unset).
+try:  # pragma: no cover
+    from jax._src import xla_bridge as _xb
+
+    for _reg in ("_backend_factories",):
+        getattr(_xb, _reg, {}).pop("axon", None)
+except Exception:  # noqa: BLE001
+    pass
+
 import pytest  # noqa: E402
 
 # Build the native C++ library once per session if the toolchain is present;
