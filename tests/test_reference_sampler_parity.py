@@ -16,34 +16,11 @@ so parity is asserted on the DETERMINISTIC semantics:
   draw to the same value.
 """
 
-import os
-import sys
-import types
-
 import pytest
 
-REFERENCE = "/root/reference"
-if not os.path.isdir(os.path.join(REFERENCE, "mfar")):  # pragma: no cover
-    pytest.skip("reference tree unavailable", allow_module_level=True)
-sys.path.insert(0, REFERENCE)
+from tests.ref_stubs import install_reference_stubs
 
-for missing, attrs in [
-    ("mashumaro", {}),
-    ("mashumaro.mixins", {}),
-    ("mashumaro.mixins.json", {"DataClassJSONMixin": object}),
-    ("pytorch_lightning", {}),
-    ("pytorch_lightning.loggers", {"MLFlowLogger": object}),
-    ("bm25s", {"BM25": type("BM25", (), {}), "tokenize": None}),
-]:
-    if missing.split(".")[0] in sys.modules and not getattr(
-        sys.modules[missing.split(".")[0]], "__mfar_tpu_test_stub__", False
-    ):  # pragma: no cover - only if the real package appears in the image
-        pytest.skip(f"{missing} is installed for real", allow_module_level=True)
-    mod = types.ModuleType(missing)
-    mod.__mfar_tpu_test_stub__ = True
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules.setdefault(missing, mod)
+install_reference_stubs()
 
 from mfar.data import typedef as ref_typedef  # noqa: E402
 from mfar.data.negative_sampler import (  # noqa: E402

@@ -12,33 +12,11 @@ tensor and the mixer weight columns), so resolve_fields parity is checked
 on ORDERED keys across the DSL matrix, not just set equality.
 """
 
-import os
-import sys
-import types
-
 import pytest
 
-REFERENCE = "/root/reference"
-if not os.path.isdir(os.path.join(REFERENCE, "mfar")):  # pragma: no cover
-    pytest.skip("reference tree unavailable", allow_module_level=True)
-sys.path.insert(0, REFERENCE)
+from tests.ref_stubs import install_reference_stubs
 
-for missing, attrs in [
-    ("mashumaro", {}),
-    ("mashumaro.mixins", {}),
-    ("mashumaro.mixins.json", {"DataClassJSONMixin": object}),
-    ("pytorch_lightning", {}),
-    ("pytorch_lightning.loggers", {"MLFlowLogger": object}),
-]:
-    if missing.split(".")[0] in sys.modules and not getattr(
-        sys.modules[missing.split(".")[0]], "__mfar_tpu_test_stub__", False
-    ):  # pragma: no cover - only if the real package appears in the image
-        pytest.skip(f"{missing} is installed for real", allow_module_level=True)
-    mod = types.ModuleType(missing)
-    mod.__mfar_tpu_test_stub__ = True
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules.setdefault(missing, mod)
+install_reference_stubs()
 
 from mfar.data import schema as ref_schema  # noqa: E402
 
