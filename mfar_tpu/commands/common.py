@@ -120,6 +120,11 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--pallas-cross-row", action="store_true",
                    help="cross-row DMA prefetch in the Pallas rerank kernel "
                         "(removes the per-query warm-up stall); experimental")
+    p.add_argument("--corpus-on-host", action="store_true",
+                   help="keep the dense corpus in HOST RAM and stream chunks "
+                        "to the device per scan (capacity beyond HBM, at "
+                        "H2D-bandwidth-bound throughput; dense-only, "
+                        "single-chip, exact mode)")
     p.add_argument("--dense-topk", default="exact", choices=["exact", "approx"],
                    help="dense top-k selection in exact mode: exact sort, or "
                         "the TPU PartialReduce (recall>=0.95, ~2x faster at "
@@ -200,11 +205,12 @@ def build_engine(args, label: str = "engine"):
 
     encoder = build_encoder(config)
 
-    # pallas-gather keeps a single-chip row-DMA corpus copy and forces
-    # --mesh off; int8 composes with the mesh (quantized corpus shards over
-    # the corpus axes: 2x docs per MESH).
+    # pallas-gather keeps a single-chip row-DMA corpus copy and a host
+    # corpus streams to ONE chip: both force --mesh off; int8 composes with
+    # the mesh (quantized corpus shards over the corpus axes: 2x docs per
+    # MESH).
     mesh = None
-    if not args.use_pallas_gather:
+    if not args.use_pallas_gather and not args.corpus_on_host:
         mesh = mesh_from_flag(args.mesh, label,
                               n_model=args.n_model, n_replica=args.n_replica)
 
@@ -234,6 +240,7 @@ def build_engine(args, label: str = "engine"):
         corpus_per_slice=args.corpus_per_slice,
         mode=args.mode,
         dense_topk=args.dense_topk,
+        corpus_on_host=args.corpus_on_host,
         # pallas gather and int8 manage their own corpus representation
         dense_dtype=jnp.bfloat16
         if args.dense_dtype == "bf16" and not args.quantize and not args.use_pallas_gather

@@ -99,6 +99,13 @@ class RetrievalEngine:
         #   (full per-chunk sort) or 'approx' (TPU PartialReduce,
         #   recall>=0.95, ~2x faster at 1M rows; candidate SCORES stay
         #   exact -- only the selection is approximate)
+        corpus_on_host: bool = False,  # capacity escape hatch: keep the
+        #   corpus in HOST RAM/memmap and stream chunks H2D per scan
+        #   (double-buffered; the reference's memmap-scan posture,
+        #   reference mfar/data/index.py:181-222).  Corpus size is bounded
+        #   by the host, not HBM -- at H2D-bandwidth-bound throughput.
+        #   Dense-only, single-chip, exact mode; prefer mesh/int8 when the
+        #   corpus fits device memory.
     ):
         self.field_info = field_info
         self.doc_keys = list(doc_keys)
@@ -113,6 +120,18 @@ class RetrievalEngine:
         self.sparse_keys = sparse_keys(field_info)
         self.mask = mask
         self.pallas_cross_row = pallas_cross_row
+        self.corpus_on_host = corpus_on_host
+        if corpus_on_host:
+            assert mesh is None and quantize is None and not use_pallas_gather, (
+                "corpus_on_host streams a host corpus to ONE chip; use the "
+                "mesh (sharded HBM) or int8 for capacity when the corpus "
+                "fits device memory"
+            )
+            assert not sparse_keys(field_info), (
+                "corpus_on_host is dense-only: hybrid scoring needs the "
+                "fused device-resident scan (shard the corpus over a mesh "
+                "for hybrid capacity)"
+            )
         self.n_docs = len(self.doc_keys)
         self.mesh = mesh
         assert mode in ("auto", "exact", "rerank"), mode
@@ -159,6 +178,7 @@ class RetrievalEngine:
         # copy (rerank-heavy serving trade-off, see ops/pallas_kernels.py).
         self.docs_flat = None
         self.docs_rows = None
+        self.docs_host = None  # host-resident corpus (corpus_on_host)
         self.docs_q = None  # int8 corpus (+ self.doc_scales) when quantized
         self.doc_scales = None
         self.emb_dim = None
@@ -194,7 +214,13 @@ class RetrievalEngine:
                     #               device-resident aligned corpus
                     flat = np.pad(flat, ((0, _round_up(n, n_shards) - n), (0, 0)))
             self.n_pad = flat.shape[0]
-            if quantize == "int8":
+            if corpus_on_host:
+                # NO device copy: chunks stream per scan.  dense_dtype
+                # becomes the per-chunk transfer dtype (bf16 halves H2D
+                # bytes); memmaps pass through unmaterialized.
+                self.docs_host = flat
+                self._host_transfer_dtype = dense_dtype
+            elif quantize == "int8":
                 assert not use_pallas_gather, "pallas gather path is full-precision only"
                 # host-side quantization so the f32 corpus never transits HBM
                 dq, ds = quantize_rows_int8_np(flat)
@@ -519,6 +545,20 @@ class RetrievalEngine:
         k = min(top_k, self.n_docs)
         q = self.encode_queries(queries)
         fd = len(self.dense_keys)
+
+        # Host-streamed corpus (capacity escape hatch): fold on device, then
+        # stream the host corpus through the chunked scan double-buffered.
+        if self.docs_host is not None:
+            from mfar_tpu.ops.scoring import dense_topk_host_streamed
+
+            weights = self._field_weights(q)
+            weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+            qflat = fold_queries(q, weights[:, :fd])
+            top_s, top_i = dense_topk_host_streamed(
+                qflat, self.docs_host, k,
+                transfer_dtype=self._host_transfer_dtype,
+            )
+            return ("device", top_s, top_i)
 
         # Single-chip full-precision serving: ONE jitted program from query
         # embeddings to top-k (weights + fold + scatter densification +
@@ -1026,6 +1066,11 @@ class RetrievalEngine:
             # hybrid retrieval with top-100 unions + rerank, which remains
             # available as the explicit compat mode)
             mode = "exact"
+        if mode == "rerank" and self.docs_host is not None:
+            raise ValueError(
+                "corpus_on_host serves exact mode only (stage-2 rerank "
+                "gathers need a device-resident corpus)"
+            )
         return mode
 
     # ------------------------------------------------------------------

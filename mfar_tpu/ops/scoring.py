@@ -192,6 +192,85 @@ def _pad_topk(top_s, top_i, k):
     return top_s, top_i
 
 
+@partial(jax.jit, static_argnames=("k",))
+def _host_stream_chunk_topk(qflat, chunk_docs, offset, valid_n, k):
+    """One streamed chunk: [B, FE] x [FE, C] matmul + row-validity mask +
+    exact per-chunk top-k.  Compiled once per (B, C) shape and reused for
+    every chunk of every batch (the tail chunk is host-padded to C)."""
+    c = chunk_docs.shape[0]
+    s = jnp.dot(qflat, chunk_docs.T, preferred_element_type=jnp.float32)
+    idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    s = jnp.where(idx < valid_n, s, -jnp.inf)
+    top_s, sel = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _host_stream_merge(a_s, a_i, b_s, b_i, k):
+    return _merge_topk((a_s, a_i), (b_s, b_i), k)
+
+
+def dense_topk_host_streamed(
+    qflat: jax.Array,  # [B, F*E] folded queries (device)
+    docs_host,  # np.ndarray / np.memmap [N, F*E] -- HOST-resident corpus
+    k: int,
+    chunk_size: int = 262144,
+    transfer_dtype=None,  # host-cast each chunk before the H2D copy
+    #                       (bf16 halves the transfer bytes)
+) -> Tuple[jax.Array, jax.Array]:  # scores [B, k], indices [B, k] (device)
+    """Exact top-k over a corpus that never sits in HBM whole.
+
+    Capacity escape hatch matching the reference's memmap-scan posture
+    (reference mfar/data/index.py:181-222: corpus bounded by host disk/RAM,
+    not device memory): chunks stream host->device double-buffered -- the
+    device_put for chunk i+1 dispatches before chunk i's matmul, so the H2D
+    copy overlaps the scan -- with an on-device running top-k merge.  Two
+    chunk buffers live in HBM at a time (2 * chunk_size * FE bytes).
+
+    Prefer the HBM-resident ops (or a mesh / int8) whenever the corpus
+    fits: this path is H2D-bandwidth-bound by construction.
+    """
+    import numpy as np  # host-side slicing/padding only
+
+    n, fe = docs_host.shape
+    b = qflat.shape[0]
+    assert n > 0 and k >= 1
+    kk = min(k, n)  # running-carry width
+    k_chunk = min(kk, chunk_size)  # a chunk contributes at most its rows
+    n_chunks = -(-n // chunk_size)
+
+    if transfer_dtype is not None:
+        qflat = qflat.astype(transfer_dtype)
+
+    def put_chunk(i):
+        lo = i * chunk_size
+        hi = min(n, lo + chunk_size)
+        c = np.asarray(docs_host[lo:hi])
+        if transfer_dtype is not None:
+            c = c.astype(jnp.dtype(transfer_dtype))
+        if hi - lo < chunk_size and n_chunks > 1:
+            # pad the tail to the compiled chunk shape (masked via valid_n)
+            c = np.pad(c, ((0, chunk_size - (hi - lo)), (0, 0)))
+        return jax.device_put(c), lo
+
+    nxt = put_chunk(0)
+    out = None
+    for i in range(n_chunks):
+        cur, lo = nxt
+        if i + 1 < n_chunks:
+            nxt = put_chunk(i + 1)  # async H2D while the matmul below runs
+        ts, ti = _host_stream_chunk_topk(
+            qflat, cur, jnp.int32(lo), jnp.int32(n), k_chunk
+        )
+        if out is None:
+            # pad the carry to kk once (-inf filler) so every merge reuses
+            # one compiled (kk + k_chunk -> kk) program
+            out = _pad_topk(ts, ti, kk)
+        else:
+            out = _host_stream_merge(*out, ts, ti, kk)
+    return _pad_topk(*out, k)
+
+
 # Above this many score rows, the PartialReduce top-k (approx_max_k) with a
 # live index output falls off a cliff (measured v5e, N=1M chunks: B=512
 # fused = 11.4K QPS vs 18.9-19.0K with the reduce split into 256-row

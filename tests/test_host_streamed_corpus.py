@@ -1,0 +1,107 @@
+"""Host-streamed corpus mode: parity with the HBM-resident scan.
+
+The capacity escape hatch (`--corpus-on-host`) matches the reference's
+memmap-scan posture (reference mfar/data/index.py:181-222): the corpus
+stays in host RAM / on disk and chunks stream H2D double-buffered.  Scores
+must match the resident op exactly -- the FE reduction never splits across
+chunks, so chunking cannot change fp32 accumulation order.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mfar_tpu.ops.scoring import dense_topk_chunked, dense_topk_host_streamed
+
+
+@pytest.mark.parametrize("n,chunk", [(1000, 256), (512, 512), (700, 1024)])
+def test_streamed_matches_resident(n, chunk):
+    rng = np.random.default_rng(0)
+    docs = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(5, 64)).astype(np.float32)
+    k = 50
+    s1, i1 = dense_topk_host_streamed(jnp.asarray(q), docs, k, chunk_size=chunk)
+    s2, i2 = dense_topk_chunked(
+        jnp.asarray(q), jnp.asarray(docs), jnp.int32(n), k, chunk_size=chunk
+    )
+    # ids identical; scores to last-ULP tolerance (the streamed tail chunk
+    # pads to the compiled shape, so its matmul vectorizes differently)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-6)
+
+
+def test_streamed_k_exceeds_chunk():
+    """k > chunk_size works streamed (the carry accumulates across chunks;
+    the resident op asserts this case out) -- checked against brute force."""
+    rng = np.random.default_rng(3)
+    n, k, chunk = 90, 50, 32
+    docs = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(5, 64)).astype(np.float32)
+    s, i = dense_topk_host_streamed(jnp.asarray(q), docs, k, chunk_size=chunk)
+    truth = q @ docs.T
+    order = np.argsort(-truth, axis=1)[:, :k]
+    np.testing.assert_array_equal(np.asarray(i), order)
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(truth, order, 1), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_streamed_memmap_and_transfer_dtype(tmp_path):
+    """A disk-backed np.memmap corpus streams without materializing, and the
+    bf16 transfer dtype matches a bf16-resident corpus bit-for-bit."""
+    rng = np.random.default_rng(1)
+    n, e, k = 600, 64, 20
+    docs = rng.normal(size=(n, e)).astype(np.float32)
+    path = tmp_path / "corpus.dat"
+    mm = np.memmap(path, dtype=np.float32, mode="w+", shape=(n, e))
+    mm[:] = docs
+    mm.flush()
+    mm = np.memmap(path, dtype=np.float32, mode="r", shape=(n, e))
+    q = rng.normal(size=(3, e)).astype(np.float32)
+
+    s1, i1 = dense_topk_host_streamed(
+        jnp.asarray(q), mm, k, chunk_size=256, transfer_dtype=jnp.bfloat16
+    )
+    s2, i2 = dense_topk_chunked(
+        jnp.asarray(q, jnp.bfloat16).astype(jnp.bfloat16),
+        jnp.asarray(docs, jnp.bfloat16), jnp.int32(n), k, chunk_size=256,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-6)
+
+
+def test_k_exceeds_corpus():
+    rng = np.random.default_rng(2)
+    docs = rng.normal(size=(7, 16)).astype(np.float32)
+    q = rng.normal(size=(2, 16)).astype(np.float32)
+    s, i = dense_topk_host_streamed(jnp.asarray(q), docs, 10, chunk_size=4)
+    assert s.shape == (2, 10) and np.all(np.asarray(s)[:, 7:] == -np.inf)
+
+
+def test_retrieve_cli_corpus_on_host(tmp_path):
+    """The serving CLI with --corpus-on-host writes the same ranking as the
+    default HBM-resident engine (f32, mesh off for a like-for-like single
+    program), and rejects rerank mode."""
+    from mfar_tpu.commands import make_synth_data, retrieve as retrieve_cmd
+    from mfar_tpu.data import trec
+
+    ds = str(tmp_path / "ds")
+    make_synth_data.main(["--out", ds, "--n-docs", "30", "--n-train", "6", "--n-val", "3"])
+    base = [
+        "--dataset-name", "amazon", "--data", ds,
+        "--field-names", "title_dense,description_dense",
+        "--model-name", "synthetic", "--partition", "val",
+        "--recall-k", "10", "--top-k", "10", "--dense-dtype", "f32",
+    ]
+    out_res = str(tmp_path / "resident.qres")
+    retrieve_cmd.main(base + ["--out", out_res, "--mesh", "off"])
+    out_host = str(tmp_path / "host.qres")
+    retrieve_cmd.main(base + ["--out", out_host, "--corpus-on-host"])
+
+    rows = lambda p: [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(p)]
+    assert rows(out_host) == rows(out_res) and rows(out_host)
+
+    with pytest.raises(ValueError, match="exact mode only"):
+        retrieve_cmd.main(base + ["--out", str(tmp_path / "x.qres"),
+                                  "--corpus-on-host", "--mode", "rerank"])
