@@ -122,10 +122,10 @@ class RetrievalEngine:
         self.pallas_cross_row = pallas_cross_row
         self.corpus_on_host = corpus_on_host
         if corpus_on_host:
-            assert mesh is None and quantize is None and not use_pallas_gather, (
+            assert mesh is None and not use_pallas_gather, (
                 "corpus_on_host streams a host corpus to ONE chip; use the "
-                "mesh (sharded HBM) or int8 for capacity when the corpus "
-                "fits device memory"
+                "mesh (sharded HBM) for capacity when the corpus fits "
+                "device memory (int8 composes with BOTH)"
             )
             assert not sparse_keys(field_info), (
                 "corpus_on_host is dense-only: hybrid scoring needs the "
@@ -179,6 +179,8 @@ class RetrievalEngine:
         self.docs_flat = None
         self.docs_rows = None
         self.docs_host = None  # host-resident corpus (corpus_on_host)
+        self.docs_host_q = None  # host int8 corpus (+ scales): corpus_on_host
+        self.docs_host_scales = None  # ... composed with --quantize int8
         self.docs_q = None  # int8 corpus (+ self.doc_scales) when quantized
         self.doc_scales = None
         self.emb_dim = None
@@ -217,8 +219,16 @@ class RetrievalEngine:
             if corpus_on_host:
                 # NO device copy: chunks stream per scan.  dense_dtype
                 # becomes the per-chunk transfer dtype (bf16 halves H2D
-                # bytes); memmaps pass through unmaterialized.
-                self.docs_host = flat
+                # bytes); memmaps pass through unmaterialized.  int8
+                # composes: quantized chunks move 1 byte/element through
+                # the H2D-bandwidth-bound path.
+                if quantize == "int8":
+                    self.docs_host_q, self.docs_host_scales = \
+                        quantize_rows_int8_np(flat)
+                elif quantize:
+                    raise ValueError(f"unknown quantize mode {quantize!r}")
+                else:
+                    self.docs_host = flat
                 self._host_transfer_dtype = dense_dtype
             elif quantize == "int8":
                 assert not use_pallas_gather, "pallas gather path is full-precision only"
@@ -548,16 +558,24 @@ class RetrievalEngine:
 
         # Host-streamed corpus (capacity escape hatch): fold on device, then
         # stream the host corpus through the chunked scan double-buffered.
-        if self.docs_host is not None:
-            from mfar_tpu.ops.scoring import dense_topk_host_streamed
+        if self.docs_host is not None or self.docs_host_q is not None:
+            from mfar_tpu.ops.scoring import (
+                dense_topk_host_streamed,
+                dense_topk_host_streamed_int8,
+            )
 
             weights = self._field_weights(q)
             weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
             qflat = fold_queries(q, weights[:, :fd])
-            top_s, top_i = dense_topk_host_streamed(
-                qflat, self.docs_host, k,
-                transfer_dtype=self._host_transfer_dtype,
-            )
+            if self.docs_host_q is not None:
+                top_s, top_i = dense_topk_host_streamed_int8(
+                    qflat, self.docs_host_q, self.docs_host_scales, k
+                )
+            else:
+                top_s, top_i = dense_topk_host_streamed(
+                    qflat, self.docs_host, k,
+                    transfer_dtype=self._host_transfer_dtype,
+                )
             return ("device", top_s, top_i)
 
         # Single-chip full-precision serving: ONE jitted program from query
@@ -1066,7 +1084,9 @@ class RetrievalEngine:
             # hybrid retrieval with top-100 unions + rerank, which remains
             # available as the explicit compat mode)
             mode = "exact"
-        if mode == "rerank" and self.docs_host is not None:
+        if mode == "rerank" and (
+            self.docs_host is not None or self.docs_host_q is not None
+        ):
             raise ValueError(
                 "corpus_on_host serves exact mode only (stage-2 rerank "
                 "gathers need a device-resident corpus)"

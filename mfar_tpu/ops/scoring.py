@@ -206,8 +206,42 @@ def _host_stream_chunk_topk(qflat, chunk_docs, offset, valid_n, k):
 
 
 @partial(jax.jit, static_argnames=("k",))
+def _host_stream_chunk_topk_int8(q8, q_scale, chunk_q, chunk_scales, offset, valid_n, k):
+    """int8 twin of :func:`_host_stream_chunk_topk`: (q8 . d8) int32 matmul
+    rescaled by both sides' per-row scales (same math as
+    :func:`dense_topk_chunked_approx_int8`)."""
+    c = chunk_q.shape[0]
+    s = jnp.dot(q8, chunk_q.T, preferred_element_type=jnp.int32).astype(jnp.float32)
+    s = s * q_scale[:, None] * chunk_scales[None, :]
+    idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    s = jnp.where(idx < valid_n, s, -jnp.inf)
+    top_s, sel = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
 def _host_stream_merge(a_s, a_i, b_s, b_i, k):
     return _merge_topk((a_s, a_i), (b_s, b_i), k)
+
+
+def _host_stream_loop(put_chunk, run_chunk, n_chunks, kk, k):
+    """Double-buffered host->device streaming: the device_put for chunk i+1
+    dispatches (async H2D) before chunk i's scan, with an on-device running
+    top-k merge.  Two chunk buffers live in HBM at a time."""
+    nxt = put_chunk(0)
+    out = None
+    for i in range(n_chunks):
+        cur = nxt
+        if i + 1 < n_chunks:
+            nxt = put_chunk(i + 1)
+        ts, ti = run_chunk(*cur)
+        if out is None:
+            # pad the carry to kk once (-inf filler) so every merge reuses
+            # one compiled (kk + k_chunk -> kk) program
+            out = _pad_topk(ts, ti, kk)
+        else:
+            out = _host_stream_merge(*out, ts, ti, kk)
+    return _pad_topk(*out, k)
 
 
 def dense_topk_host_streamed(
@@ -253,22 +287,54 @@ def dense_topk_host_streamed(
             c = np.pad(c, ((0, chunk_size - (hi - lo)), (0, 0)))
         return jax.device_put(c), lo
 
-    nxt = put_chunk(0)
-    out = None
-    for i in range(n_chunks):
-        cur, lo = nxt
-        if i + 1 < n_chunks:
-            nxt = put_chunk(i + 1)  # async H2D while the matmul below runs
-        ts, ti = _host_stream_chunk_topk(
+    def run_chunk(cur, lo):
+        return _host_stream_chunk_topk(
             qflat, cur, jnp.int32(lo), jnp.int32(n), k_chunk
         )
-        if out is None:
-            # pad the carry to kk once (-inf filler) so every merge reuses
-            # one compiled (kk + k_chunk -> kk) program
-            out = _pad_topk(ts, ti, kk)
-        else:
-            out = _host_stream_merge(*out, ts, ti, kk)
-    return _pad_topk(*out, k)
+
+    return _host_stream_loop(put_chunk, run_chunk, n_chunks, kk, k)
+
+
+def dense_topk_host_streamed_int8(
+    qflat: jax.Array,  # [B, F*E] folded queries (device, float)
+    docs_q_host,  # np.ndarray/memmap [N, F*E] int8 (quantize_rows_int8_np)
+    scales_host,  # np.ndarray [N] f32 per-row scales
+    k: int,
+    chunk_size: int = 262144,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 twin of :func:`dense_topk_host_streamed`: the host corpus is
+    quantized (quantize_rows_int8_np), so each streamed chunk moves 1 byte
+    per element -- half the bf16 transfer, quarter of f32 -- in the mode
+    that is H2D-bandwidth-bound by construction.  Scores deviate from f32
+    retrieval only by the symmetric per-side quantization error (~0.5%),
+    exactly like the HBM-resident int8 engine."""
+    import numpy as np  # host-side slicing/padding only
+
+    n, fe = docs_q_host.shape
+    assert n > 0 and k >= 1 and scales_host.shape == (n,)
+    kk = min(k, n)
+    k_chunk = min(kk, chunk_size)
+    n_chunks = -(-n // chunk_size)
+
+    q8, q_scale = quantize_rows_int8(qflat.astype(jnp.float32))
+
+    def put_chunk(i):
+        lo = i * chunk_size
+        hi = min(n, lo + chunk_size)
+        cq = np.asarray(docs_q_host[lo:hi])
+        cs = np.asarray(scales_host[lo:hi], np.float32)
+        if hi - lo < chunk_size and n_chunks > 1:
+            pad = chunk_size - (hi - lo)
+            cq = np.pad(cq, ((0, pad), (0, 0)))
+            cs = np.pad(cs, (0, pad))
+        return jax.device_put(cq), jax.device_put(cs), lo
+
+    def run_chunk(cq, cs, lo):
+        return _host_stream_chunk_topk_int8(
+            q8, q_scale, cq, cs, jnp.int32(lo), jnp.int32(n), k_chunk
+        )
+
+    return _host_stream_loop(put_chunk, run_chunk, n_chunks, kk, k)
 
 
 # Above this many score rows, the PartialReduce top-k (approx_max_k) with a

@@ -79,6 +79,28 @@ def test_k_exceeds_corpus():
     assert s.shape == (2, 10) and np.all(np.asarray(s)[:, 7:] == -np.inf)
 
 
+@pytest.mark.parametrize("n,chunk", [(1000, 256), (300, 512)])
+def test_streamed_int8_matches_resident_int8(n, chunk):
+    from mfar_tpu.ops.scoring import (
+        dense_topk_chunked_int8,
+        dense_topk_host_streamed_int8,
+        quantize_rows_int8_np,
+    )
+
+    rng = np.random.default_rng(4)
+    docs = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(5, 64)).astype(np.float32)
+    dq, ds = quantize_rows_int8_np(docs)
+    k = 40
+    s1, i1 = dense_topk_host_streamed_int8(jnp.asarray(q), dq, ds, k, chunk_size=chunk)
+    s2, i2 = dense_topk_chunked_int8(
+        jnp.asarray(q), jnp.asarray(dq), jnp.asarray(ds), jnp.int32(n), k,
+        chunk_size=chunk,
+    )
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-6)
+
+
 def test_retrieve_cli_corpus_on_host(tmp_path):
     """The serving CLI with --corpus-on-host writes the same ranking as the
     default HBM-resident engine (f32, mesh off for a like-for-like single
@@ -105,3 +127,12 @@ def test_retrieve_cli_corpus_on_host(tmp_path):
     with pytest.raises(ValueError, match="exact mode only"):
         retrieve_cmd.main(base + ["--out", str(tmp_path / "x.qres"),
                                   "--corpus-on-host", "--mode", "rerank"])
+
+    # int8 composes with the host stream: same candidate set up to the
+    # ~0.5% quantization score error (near-ties may cross the k boundary)
+    out_i8 = str(tmp_path / "host_i8.qres")
+    retrieve_cmd.main(base + ["--out", out_i8, "--corpus-on-host",
+                              "--quantize", "int8"])
+    ids = {(q, d) for q, d, _ in rows(out_res)}
+    ids8 = {(q, d) for q, d, _ in rows(out_i8)}
+    assert len(ids & ids8) >= int(0.8 * len(ids))
