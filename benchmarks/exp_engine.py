@@ -1,11 +1,15 @@
 """Engine end-to-end serving benchmark prototype.
 
-python benchmarks/exp_engine.py [dense|hybrid] [N] [B]
+python benchmarks/exp_engine.py [dense|hybrid|dense-host|dense-host-int8] [N] [B]
 
 Measures RetrievalEngine.retrieve (tokenize + encode + fold + fused top-k +
 id mapping) with a contriever-base-shape random-init encoder over a
 synthetic N-doc corpus (bf16 on device).  Hybrid adds one BM25 sparse field
-(native engine) and uses the exact full-corpus hybrid path.
+(native engine) and uses the exact full-corpus hybrid path.  The dense-host
+modes keep the corpus in HOST RAM and stream chunks per scan
+(--corpus-on-host; int8 halves the streamed bytes) -- expect
+H2D-bandwidth-bound numbers, priced here so the capacity escape hatch has a
+measured cost.
 """
 
 import sys
@@ -21,7 +25,11 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from synth_engine import make_world, random_queries
 
-    world = make_world(N, hybrid=(mode == "hybrid"))
+    world = make_world(
+        N, hybrid=(mode == "hybrid"),
+        corpus_on_host=mode.startswith("dense-host"),
+        quantize="int8" if mode == "dense-host-int8" else None,
+    )
     engine, tok = world["engine"], world["tok"]
     sparse_indices = world["sparse_indices"]
     queries = random_queries(world, B)

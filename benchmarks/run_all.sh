@@ -50,6 +50,11 @@ run engine_dense_b256 900 python benchmarks/exp_engine.py dense 1048576 256
 run engine_hybrid_b64 900 python benchmarks/exp_engine.py hybrid 1048576 64
 run engine_hybrid_b256 900 python benchmarks/exp_engine.py hybrid 1048576 256
 
+# 2b. Host-streamed corpus (capacity escape hatch): price the H2D-bound
+#     modes at half the headline N (host RAM on the serving rig is small).
+run engine_dense_host 900 python benchmarks/exp_engine.py dense-host 524288 256
+run engine_dense_host_i8 900 python benchmarks/exp_engine.py dense-host-int8 524288 256
+
 # 3. Op-level: the B=512 row-block path (round-2 cliff fix).
 run topk_b512 600 python benchmarks/exp_topk.py 512 256
 

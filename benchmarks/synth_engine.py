@@ -12,7 +12,8 @@ import time
 import numpy as np
 
 
-def make_world(N: int, hybrid: bool = False, seed: int = 0):
+def make_world(N: int, hybrid: bool = False, seed: int = 0,
+               corpus_on_host: bool = False, quantize=None):
     """Returns dict(engine, warr, tok, rng) -- ready to serve."""
     import jax
     import jax.numpy as jnp
@@ -30,9 +31,24 @@ def make_world(N: int, hybrid: bool = False, seed: int = 0):
     rng = np.random.default_rng(seed)
     E, FD = 768, 5
     t0 = time.perf_counter()
-    matrix = jax.random.normal(jax.random.PRNGKey(0), (N, FD * E), jnp.bfloat16)
-    matrix.block_until_ready()
-    print(f"corpus matrix (device): {time.perf_counter()-t0:.1f}s", flush=True)
+    if corpus_on_host:
+        # HOST bf16 corpus, built in slabs to cap peak RAM at ~N*FD*E*2
+        # bytes + one f32 slab (the whole point of this mode is corpora
+        # that do not fit HBM, so never materialize f32 wholesale).
+        import ml_dtypes
+
+        matrix = np.empty((N, FD * E), ml_dtypes.bfloat16)
+        for lo in range(0, N, 65536):
+            hi = min(N, lo + 65536)
+            matrix[lo:hi] = rng.standard_normal(
+                (hi - lo, FD * E), dtype=np.float32
+            ).astype(ml_dtypes.bfloat16)
+        print(f"corpus matrix (host bf16): {time.perf_counter()-t0:.1f}s", flush=True)
+    else:
+        assert quantize is None, "quantize is plumbed for the host mode here"
+        matrix = jax.random.normal(jax.random.PRNGKey(0), (N, FD * E), jnp.bfloat16)
+        matrix.block_until_ready()
+        print(f"corpus matrix (device): {time.perf_counter()-t0:.1f}s", flush=True)
 
     words = [f"w{i}" for i in range(5000)]
     warr = np.array(words)
@@ -67,6 +83,8 @@ def make_world(N: int, hybrid: bool = False, seed: int = 0):
         query_max_length=64,
         recall_k=100,
         mode="exact",
+        corpus_on_host=corpus_on_host,
+        quantize=quantize if corpus_on_host else None,
     )
     print(f"engine build: {time.perf_counter()-t0:.1f}s", flush=True)
     return dict(engine=engine, warr=warr, tok=tok, rng=rng,
