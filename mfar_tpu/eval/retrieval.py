@@ -120,6 +120,10 @@ class RetrievalEngine:
         self.sparse_keys = sparse_keys(field_info)
         self.mask = mask
         self.pallas_cross_row = pallas_cross_row
+        assert not pallas_cross_row or use_pallas_gather, (
+            "pallas_cross_row tunes the Pallas rerank kernel and does "
+            "nothing without use_pallas_gather (--use-pallas-gather)"
+        )
         self.corpus_on_host = corpus_on_host
         if corpus_on_host:
             assert mesh is None and not use_pallas_gather, (
@@ -223,13 +227,35 @@ class RetrievalEngine:
                 # composes: quantized chunks move 1 byte/element through
                 # the H2D-bandwidth-bound path.
                 if quantize == "int8":
-                    self.docs_host_q, self.docs_host_scales = \
-                        quantize_rows_int8_np(flat)
+                    # Quantize in row slabs: quantize_rows_int8_np is
+                    # row-wise, and a whole-corpus call would materialize
+                    # a full f32 copy + temporaries -- defeating the
+                    # capacity escape hatch at build time for corpora
+                    # sized near host RAM.
+                    n_rows = flat.shape[0]
+                    self.docs_host_q = np.empty(flat.shape, np.int8)
+                    self.docs_host_scales = np.empty(n_rows, np.float32)
+                    for lo in range(0, n_rows, 65536):
+                        hi = min(n_rows, lo + 65536)
+                        dq, ds = quantize_rows_int8_np(flat[lo:hi])
+                        self.docs_host_q[lo:hi] = dq
+                        self.docs_host_scales[lo:hi] = ds
+                    self._host_transfer_dtype = None
                 elif quantize:
                     raise ValueError(f"unknown quantize mode {quantize!r}")
                 else:
+                    # In-RAM ndarray: cast ONCE at init (halves RAM and
+                    # avoids a full-corpus cast per retrieve batch).  A
+                    # memmap must stream uncast -- casting would
+                    # materialize it -- so the per-chunk transfer cast
+                    # stays for that case.
+                    if not isinstance(flat, np.memmap):
+                        if dense_dtype is not None and \
+                                flat.dtype != jnp.dtype(dense_dtype):
+                            flat = flat.astype(jnp.dtype(dense_dtype))
+                        dense_dtype = None  # chunks stream as-is
                     self.docs_host = flat
-                self._host_transfer_dtype = dense_dtype
+                    self._host_transfer_dtype = dense_dtype
             elif quantize == "int8":
                 assert not use_pallas_gather, "pallas gather path is full-precision only"
                 # host-side quantization so the f32 corpus never transits HBM

@@ -227,7 +227,17 @@ def _host_stream_merge(a_s, a_i, b_s, b_i, k):
 def _host_stream_loop(put_chunk, run_chunk, n_chunks, kk, k):
     """Double-buffered host->device streaming: the device_put for chunk i+1
     dispatches (async H2D) before chunk i's scan, with an on-device running
-    top-k merge.  Two chunk buffers live in HBM at a time."""
+    top-k merge.  Two chunk buffers live in HBM at a time -- enforced by a
+    tiny scalar fetch from chunk i's merge after chunk i+1's put is in
+    flight.  Without that backpressure the Python loop can enqueue every
+    remaining chunk's H2D buffer (dispatch is async and nothing blocks
+    until the caller fetches results), which OOMs HBM for exactly the
+    beyond-HBM corpora this mode exists for.  An explicit one-element fetch
+    rather than block_until_ready: the latter does not block through the
+    TPU relay.  Costs one D2H round-trip per chunk (~us locally, ~35 ms on
+    the relay) against a multi-hundred-ms chunk transfer."""
+    import numpy as np
+
     nxt = put_chunk(0)
     out = None
     for i in range(n_chunks):
@@ -241,6 +251,8 @@ def _host_stream_loop(put_chunk, run_chunk, n_chunks, kk, k):
             out = _pad_topk(ts, ti, kk)
         else:
             out = _host_stream_merge(*out, ts, ti, kk)
+        if i + 1 < n_chunks:
+            np.asarray(out[0][:1, :1])  # backpressure (see docstring)
     return _pad_topk(*out, k)
 
 
@@ -281,7 +293,7 @@ def dense_topk_host_streamed(
         hi = min(n, lo + chunk_size)
         c = np.asarray(docs_host[lo:hi])
         if transfer_dtype is not None:
-            c = c.astype(jnp.dtype(transfer_dtype))
+            c = c.astype(jnp.dtype(transfer_dtype), copy=False)
         if hi - lo < chunk_size and n_chunks > 1:
             # pad the tail to the compiled chunk shape (masked via valid_n)
             c = np.pad(c, ((0, chunk_size - (hi - lo)), (0, 0)))
