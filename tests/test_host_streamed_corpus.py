@@ -101,6 +101,59 @@ def test_streamed_int8_matches_resident_int8(n, chunk):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-6)
 
 
+def test_microbatcher_serves_host_streamed_engine():
+    """The online daemon's batcher composes with corpus_on_host (shared
+    engine construction: the serve CLI inherits the flag via build_engine)."""
+    import jax
+
+    from tests.synth import make_amazon_corpus, make_queries_and_qrels
+
+    from mfar_tpu.data.schema import resolve_fields
+    from mfar_tpu.eval.index_build import build_dense_corpus_matrix
+    from mfar_tpu.eval.retrieval import RetrievalEngine
+    from mfar_tpu.models import Encoder, EncoderConfig, SimpleVocabTokenizer
+    from mfar_tpu.models.encoder import init_params
+    from mfar_tpu.serve import MicroBatcher
+
+    corpus = make_amazon_corpus(30)
+    queries, _ = make_queries_and_qrels(corpus, n_queries=6)
+    field_info = resolve_fields("title_dense", "amazon")
+    from mfar_tpu.data.format import format_documents
+
+    texts = [t for _, t in format_documents(corpus.pairs(), "title", "amazon")]
+    tok = SimpleVocabTokenizer.build(texts + list(queries.values()), max_length=64)
+    config = EncoderConfig.tiny(vocab_size=tok.vocab_size)
+    params = init_params(config)
+    model = Encoder(config)
+
+    @jax.jit
+    def encode_fn(ids, mask):
+        return model.apply({"params": params}, ids, mask)
+
+    matrix = build_dense_corpus_matrix(encode_fn, tok, corpus, field_info)
+    rngW = np.random.default_rng(0)
+    mixer = {"weight": jnp.asarray(
+        rngW.normal(size=(config.hidden_size, 1)).astype(np.float32))}
+
+    def build(**kw):
+        return RetrievalEngine(
+            field_info=field_info, doc_keys=list(corpus.keys()),
+            encode_fn=encode_fn, tokenizer=tok, mixer_params=mixer,
+            dense_matrix=matrix, query_max_length=64, **kw,
+        )
+
+    host_eng = build(corpus_on_host=True)
+    resident = build()
+    qs = list(queries.values())[:4]
+    b = MicroBatcher(host_eng, max_batch=4, max_wait_ms=1.0, top_k=5).start()
+    try:
+        got = b.submit(qs)
+    finally:
+        b.stop()
+    want = resident.retrieve(qs, top_k=5)
+    assert [[k for k, _ in h] for h in got] == [[k for k, _ in h] for h in want]
+
+
 def test_retrieve_cli_corpus_on_host(tmp_path):
     """The serving CLI with --corpus-on-host writes the same ranking as the
     default HBM-resident engine (f32, mesh off for a like-for-like single
