@@ -14,6 +14,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mfar_tpu.commands.common import (  # noqa: F401
     normalize_argv,
@@ -31,7 +32,11 @@ from mfar_tpu.models.registry import prepare_model
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     add_data_args(p)
-    p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--out", required=True,
+                   help="output path: .npz (default, self-contained) or .npy "
+                        "(raw + <out>.keys sidecar; the build streams into "
+                        "the file and serving can memory-map it -- the "
+                        "beyond-RAM pairing for --corpus-on-host)")
     p.add_argument("--model-name", default="facebook/contriever-msmarco")
     p.add_argument("--checkpoint-dir", default=None,
                    help="restore encoder weights from a training run (best.txt)")
@@ -86,9 +91,24 @@ def main(argv=None) -> None:
 
     encode = make_encode_fn(encoder, params, mesh=mesh)
 
+    out_target = None
+    if args.out.endswith(".npy"):
+        # Raw .npy: build STREAMS into the disk memmap (host RAM stays
+        # O(batch window), so corpora beyond RAM can be encoded) and the
+        # file can be memory-mapped at serving time (--corpus-on-host).
+        # One tiny probe encode determines the embedding dim (projection
+        # heads make it differ from config.hidden_size for some models).
+        toks = tokenizer.encode_batch(["probe"], 8)
+        e = int(np.asarray(
+            encode(jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]))
+        ).shape[-1])
+        out_target = np.lib.format.open_memmap(
+            args.out, mode="w+", dtype=np.float32,
+            shape=(len(corpus), len(dense_fields), e),
+        )
     matrix = build_dense_corpus_matrix(
         encode, tokenizer, corpus, dense_fields,
-        batch_size=args.batch_size, prefix=args.prefix,
+        batch_size=args.batch_size, prefix=args.prefix, out=out_target,
     )
     out_path = save_dense_matrix(args.out, matrix, list(corpus.keys()))
     print(f"Encoded {matrix.shape[0]} docs x {matrix.shape[1]} fields x {matrix.shape[2]} dims -> {out_path}")

@@ -108,6 +108,9 @@ def encode_texts(
     texts: Sequence[str],
     max_length: int,
     batch_size: int = 256,
+    out=None,  # optional [len(texts), E] write target (e.g. a disk memmap
+    #            row-slice): batches stream straight into it, so host RAM
+    #            stays O(window * batch) instead of O(corpus)
 ) -> np.ndarray:
     """Batched encoder forward over texts.  Batches are padded to the full
     ``batch_size`` and a single bucket width so every step reuses one
@@ -119,13 +122,16 @@ def encode_texts(
     round-trip (on a relay-tunneled chip that alone is ~35 ms/batch), while
     keeping every batch device-resident would grow HBM by O(corpus)."""
     window = 8  # batches in flight; bounds device residency to O(window)
-    pending: List[Tuple[Any, int]] = []
-    out: List[np.ndarray] = []
+    pending: List[Tuple[Any, int, int]] = []
+    acc: List[np.ndarray] = []
 
     def drain(upto: int) -> None:
         while len(pending) > upto:
-            embs, real = pending.pop(0)
-            out.append(np.asarray(embs)[:real])
+            embs, real, pos = pending.pop(0)
+            if out is not None:
+                out[pos : pos + real] = np.asarray(embs)[:real]
+            else:
+                acc.append(np.asarray(embs)[:real])
 
     n = len(texts)
     for start in range(0, n, batch_size):
@@ -135,12 +141,14 @@ def encode_texts(
             chunk += [""] * (batch_size - real)
         toks = tokenizer.encode_batch(chunk, max_length, bucket=False)
         embs = encode_fn(jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]))
-        pending.append((embs, real))
+        pending.append((embs, real, start))
         drain(window)
     drain(0)
-    if not out:
+    if out is not None:
+        return out
+    if not acc:
         return np.zeros((0, 0), np.float32)
-    return np.concatenate(out, axis=0)
+    return np.concatenate(acc, axis=0)
 
 
 def build_dense_corpus_matrix(
@@ -151,18 +159,28 @@ def build_dense_corpus_matrix(
     batch_size: int = 256,
     prefix: bool = False,
     dtype=np.float32,
+    out=None,  # optional [N, Fd, E] write target (e.g. np.lib.format.
+    #            open_memmap): each field's batches stream into
+    #            out[:, fi, :], so corpora beyond host RAM can be built
+    #            (pairs with --corpus-on-host serving from the same file)
 ) -> np.ndarray:
     """[N, Fd, E] per-field corpus embeddings (dense fields, schema order)."""
     dkeys = dense_keys(field_info)
     mats: List[np.ndarray] = []
     pairs = list(corpus.pairs())
-    for fk in dkeys:
+    for fi, fk in enumerate(dkeys):
         field = field_info[fk]
         texts = [t for _, t in format_documents(pairs, field.name, field.dataset)]
         if prefix:
             texts = [field.name.replace("___", " ") + ": " + t for t in texts]
-        embs = encode_texts(encode_fn, tokenizer, texts, field.max_seq_length, batch_size)
-        mats.append(embs.astype(dtype))
+        embs = encode_texts(
+            encode_fn, tokenizer, texts, field.max_seq_length, batch_size,
+            out=None if out is None else out[:, fi, :],
+        )
+        if out is None:
+            mats.append(embs.astype(dtype))
+    if out is not None:
+        return out
     if not mats:
         return np.zeros((len(corpus), 0, 0), dtype)
     return np.stack(mats, axis=1)
@@ -185,7 +203,23 @@ def build_sparse_indices(
 def save_dense_matrix(path: str, matrix: np.ndarray, keys: Sequence[str]) -> str:
     """Returns the ACTUAL path written: np.savez appends .npz to a bare
     path, which previously broke the save -> --dense-index round-trip
-    (the printed path did not exist)."""
+    (the printed path did not exist).
+
+    A ``.npy`` path writes the RAW array (keys in a ``<path>.keys`` text
+    sidecar, one per line): unlike npz (a zip, decompressed wholesale on
+    load), a raw .npy can be memory-mapped at serving time -- the on-disk
+    format for corpora beyond host RAM (``--corpus-on-host``).  If
+    ``matrix`` already IS the open memmap written by the build, the data
+    is on disk; only the sidecar is written."""
+    if path.endswith(".npy"):
+        if not (isinstance(matrix, np.memmap)
+                and getattr(matrix, "filename", None) == os.path.abspath(path)):
+            np.save(path, matrix)
+        elif hasattr(matrix, "flush"):
+            matrix.flush()
+        with open(path + ".keys", "w", encoding="utf-8") as f:
+            f.write("\n".join(keys) + ("\n" if len(keys) else ""))
+        return path
     if not path.endswith(".npz"):
         path = path + ".npz"
     np.savez(path, matrix=matrix, keys=np.asarray(list(keys), dtype=object))
@@ -193,7 +227,15 @@ def save_dense_matrix(path: str, matrix: np.ndarray, keys: Sequence[str]) -> str
 
 
 def load_dense_matrix(path: str) -> Tuple[np.ndarray, List[str]]:
-    if not os.path.exists(path) and os.path.exists(path + ".npz"):
-        path = path + ".npz"  # tolerate the bare spelling
+    if not os.path.exists(path):
+        for ext in (".npz", ".npy"):  # tolerate the bare spelling
+            if os.path.exists(path + ext):
+                path = path + ext
+                break
+    if path.endswith(".npy"):
+        matrix = np.load(path, mmap_mode="r")  # lazy: rows page in on access
+        with open(path + ".keys", encoding="utf-8") as f:
+            keys = f.read().splitlines()
+        return matrix, keys
     data = np.load(path, allow_pickle=True)
     return data["matrix"], list(data["keys"])

@@ -101,6 +101,44 @@ def test_streamed_int8_matches_resident_int8(n, chunk):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-6)
 
 
+def test_npy_index_roundtrip_and_streamed_build(tmp_path):
+    """encode_corpus --out .npy: the build streams into a disk memmap
+    (identical to the in-RAM build), load_dense_matrix memory-maps it, and
+    retrieve --dense-index <npy> --corpus-on-host serves straight from disk
+    with the same ranking as the npz + resident path."""
+    from mfar_tpu.commands import (
+        encode_corpus as encode_cmd,
+        make_synth_data,
+        retrieve as retrieve_cmd,
+    )
+    from mfar_tpu.data import trec
+    from mfar_tpu.eval.index_build import load_dense_matrix
+
+    ds = str(tmp_path / "ds")
+    make_synth_data.main(["--out", ds, "--n-docs", "25", "--n-train", "6", "--n-val", "3"])
+    common = ["--dataset-name", "amazon", "--data", ds,
+              "--field-names", "title_dense,description_dense",
+              "--model-name", "synthetic"]
+    npz, npy = str(tmp_path / "idx.npz"), str(tmp_path / "idx.npy")
+    encode_cmd.main(common + ["--out", npz, "--mesh", "off"])
+    encode_cmd.main(common + ["--out", npy, "--mesh", "off"])
+
+    m_npz, k_npz = load_dense_matrix(npz)
+    m_npy, k_npy = load_dense_matrix(npy)
+    assert isinstance(m_npy, np.memmap) and k_npy == k_npz
+    np.testing.assert_array_equal(np.asarray(m_npy), m_npz)
+
+    base = common + ["--partition", "val", "--recall-k", "10", "--top-k", "10",
+                     "--dense-dtype", "f32"]
+    out_res = str(tmp_path / "res.qres")
+    retrieve_cmd.main(base + ["--out", out_res, "--dense-index", npz, "--mesh", "off"])
+    out_mm = str(tmp_path / "mm.qres")
+    retrieve_cmd.main(base + ["--out", out_mm, "--dense-index", npy,
+                              "--corpus-on-host"])
+    rows = lambda p: [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(p)]
+    assert rows(out_mm) == rows(out_res) and rows(out_mm)
+
+
 def test_microbatcher_serves_host_streamed_engine():
     """The online daemon's batcher composes with corpus_on_host (shared
     engine construction: the serve CLI inherits the flag via build_engine)."""
