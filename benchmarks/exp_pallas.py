@@ -1,11 +1,12 @@
 """Pallas rerank-gather experiment:
 python benchmarks/exp_pallas.py [VARIANT] [N] [B] [C]
 
-VARIANT: xla | pallas | xrow | all (default all).  Validates each variant
-against the XLA gather+einsum reference on a small id slice, then times the
-full [B, C] candidate gather+score at rerank shapes.  ``xrow`` is the
-cross-row DMA prefetch (see ops/pallas_kernels.py) -- run this ONCE on real
-hardware before flipping its default.
+VARIANT: xla | pallas | xrow | mc | all (default all).  Validates each
+variant against the XLA gather+einsum reference on a small id slice, then
+times the full [B, C] candidate gather+score at rerank shapes.  ``xrow`` is
+the cross-row DMA prefetch and ``mc`` the megacore (parallel query-row
+axis) variant (see ops/pallas_kernels.py) -- run these ONCE on real
+hardware before changing any default.
 
 One variant still shares the process (same corpus, sequential jits) because
 every program here is a single pallas_call / jit with one scalar fetch --
@@ -46,6 +47,11 @@ def main():
     q = jax.random.normal(jax.random.PRNGKey(1), (b, E), jnp.float32)
     ids = jax.random.randint(jax.random.PRNGKey(2), (b, c), 0, n, jnp.int32)
 
+    PALLAS_VARIANTS = (
+        ("pallas", dict()),
+        ("xrow", dict(cross_row_prefetch=True)),
+        ("mc", dict(megacore=True)),
+    )
     runners = {}
     rows = None
     if variant in ("xla", "all"):
@@ -53,14 +59,14 @@ def main():
             lambda q, d, i: gather_per_field_scores_xla(q, d, i).sum()
         )
         runners["xla"] = lambda: float(xla_fn(q, docs, ids))
-    if variant in ("pallas", "xrow", "all"):
+    if variant != "xla":
         rows = make_row_dma_view(docs)  # built ONCE: it is a corpus-size copy
-        for name, xr in (("pallas", False), ("xrow", True)):
+        for name, kw in PALLAS_VARIANTS:
             if variant not in (name, "all"):
                 continue
             fn = jax.jit(
-                lambda q, r, i, xr=xr: gather_per_field_scores_pallas(
-                    q, r, i, F, interpret=interpret, cross_row_prefetch=xr
+                lambda q, r, i, kw=kw: gather_per_field_scores_pallas(
+                    q, r, i, F, interpret=interpret, **kw
                 ).sum()
             )
             runners[name] = lambda fn=fn: float(fn(q, rows, ids))
@@ -69,12 +75,11 @@ def main():
     # (skipped when only the XLA runner was requested -- nothing to compare).
     if rows is not None:
         want = np.asarray(gather_per_field_scores_xla(q, docs, ids))
-        for name, xr in (("pallas", False), ("xrow", True)):
+        for name, kw in PALLAS_VARIANTS:
             if variant in (name, "all"):
                 got = np.asarray(
                     gather_per_field_scores_pallas(
-                        q, rows, ids, F,
-                        interpret=interpret, cross_row_prefetch=xr,
+                        q, rows, ids, F, interpret=interpret, **kw
                     )
                 )
                 np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)

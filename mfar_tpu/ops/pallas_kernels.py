@@ -139,6 +139,7 @@ def gather_per_field_scores_pallas(
     num_fields: int,
     interpret: bool = False,
     cross_row_prefetch: bool = False,
+    megacore: bool = False,
 ) -> jax.Array:  # [B, C, F]
     """Reads candidate rows in place via double-buffered DMA -- no
     [B, C, F*E] gather materialized in HBM (~3x less rerank HBM traffic
@@ -147,6 +148,13 @@ def gather_per_field_scores_pallas(
     ``cross_row_prefetch=True`` keys the double-buffer slot off the global
     tile index so the prefetch window crosses query-row boundaries (no
     per-row warm-up stall); opt-in until validated on real TPU hardware.
+
+    ``megacore=True`` declares the query-row grid axis ``parallel``
+    (``dimension_semantics``) so the two TPU megacores split the batch --
+    query rows are independent when prefetch stays row-local, so this
+    composes with the default prefetch but NOT with ``cross_row_prefetch``
+    (whose slot parity assumes one sequential grid walk).  Opt-in until
+    validated on hardware (interpret mode ignores semantics).
     """
     b, e = q.shape
     if docs_rows.ndim == 2:
@@ -180,11 +188,21 @@ def gather_per_field_scores_pallas(
         _gather_score_kernel, c_total=c, num_fields=num_fields, emb=e,
         cross_row_prefetch=cross_row_prefetch,
     )
+    kwargs = {}
+    if megacore:
+        assert not cross_row_prefetch, (
+            "megacore splits the query-row axis across cores; the cross-row "
+            "prefetch slot parity assumes one sequential grid walk"
+        )
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        )
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, num_fields), jnp.float32),
         interpret=interpret,
+        **kwargs,
     )(
         cand_ids.reshape(-1).astype(jnp.int32),
         q.astype(jnp.float32),

@@ -56,6 +56,23 @@ def test_gather_score_cross_row_prefetch(data, n_tiles):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_gather_score_megacore_semantics(data):
+    """megacore=True only changes dimension_semantics (query rows are
+    independent); interpret-mode output must match XLA, and the invalid
+    combination with cross-row prefetch is rejected."""
+    q, docs, ids = data
+    got = gather_per_field_scores_pallas(
+        q, docs.reshape(N, F * E), ids, F, interpret=True, megacore=True
+    )
+    want = gather_per_field_scores_xla(q, docs, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+    with pytest.raises(AssertionError, match="sequential grid walk"):
+        gather_per_field_scores_pallas(
+            q, docs.reshape(N, F * E), ids, F, interpret=True,
+            megacore=True, cross_row_prefetch=True,
+        )
+
+
 def test_rejects_unaligned_candidate_width(data):
     q, docs, _ = data
     bad = jnp.zeros((B, TILE_C + 1), jnp.int32)
