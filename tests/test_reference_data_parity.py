@@ -251,6 +251,45 @@ def test_read_corpus_parity(tmp_path):
     assert list(our_trec.read_corpus(str(p))) == list(ref_trec.read_corpus(str(p)))
 
 
+def test_remove_irregularities_parity():
+    """The JSON sanitizer (reference mfar/data/util.py:62-75) drives the
+    corpus tsv writer; byte parity on nested payloads with control chars,
+    numpy bools, and the unsupported-type error."""
+    import importlib.util
+
+    # util.py imports pytorch_lightning at module top for an unrelated
+    # logger wrapper; load it with the stub (not installed here for real).
+    import sys
+    import types
+
+    for name, attrs in [("pytorch_lightning", {}),
+                        ("pytorch_lightning.loggers", {"MLFlowLogger": object})]:
+        mod = types.ModuleType(name)
+        mod.__mfar_tpu_test_stub__ = True
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules.setdefault(name, mod)
+    spec = importlib.util.spec_from_file_location(
+        "ref_util", os.path.join(REFERENCE, "mfar", "data", "util.py")
+    )
+    ref_util = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_util)
+
+    from mfar_tpu.utils.jsonutil import remove_irregularities as ours
+
+    payload = {
+        "s": "  line1\nline2\tx\ryz  ",
+        "nested": [{"a": np.bool_(True), "b": [1, 2.5, None, False]}, "ok\n"],
+        "n": 7,
+    }
+    assert ours(payload) == ref_util.remove_irregularities(payload)
+    for bad in ({1, 2}, object()):
+        with pytest.raises(ValueError):
+            ref_util.remove_irregularities(bad)
+        with pytest.raises(ValueError):
+            ours(bad)
+
+
 def test_qres_text_io_roundtrip_parity(tmp_path):
     rows = [our_trec.QRes(f"q{i}", f"d{i}", 1.0 / (i + 1), rank=i) for i in range(5)]
     blob = "\n".join(str(r) for r in rows) + "\n"
