@@ -38,6 +38,11 @@ def load_library():
     global _lib
     if _lib is not None:
         return _lib
+    if os.environ.get("MFAR_DISABLE_NATIVE"):
+        # Forced scipy/python fallback: lets tests (and operators debugging
+        # a suspect .so) exercise the degraded path without deleting the
+        # built library.
+        return None
     if not os.path.exists(_LIB_PATH):
         return None
     lib = ctypes.CDLL(_LIB_PATH)
