@@ -121,10 +121,12 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                    help="cross-row DMA prefetch in the Pallas rerank kernel "
                         "(removes the per-query warm-up stall); experimental")
     p.add_argument("--corpus-on-host", action="store_true",
-                   help="keep the dense corpus in HOST RAM and stream chunks "
-                        "to the device per scan (capacity beyond HBM, at "
-                        "H2D-bandwidth-bound throughput; dense-only, "
-                        "single-chip, exact mode)")
+                   help="keep the dense corpus in HOST RAM/memmap and stream "
+                        "chunks to the device(s) per scan (capacity beyond "
+                        "HBM, at H2D-bandwidth-bound throughput; dense-only, "
+                        "exact mode; composes with the mesh -- each chip "
+                        "streams only its row shard -- or with --quantize "
+                        "int8 single-chip)")
     p.add_argument("--dense-topk", default="exact", choices=["exact", "approx"],
                    help="dense top-k selection in exact mode: exact sort, or "
                         "the TPU PartialReduce (recall>=0.95, ~2x faster at "
@@ -205,12 +207,12 @@ def build_engine(args, label: str = "engine"):
 
     encoder = build_encoder(config)
 
-    # pallas-gather keeps a single-chip row-DMA corpus copy and a host
-    # corpus streams to ONE chip: both force --mesh off; int8 composes with
-    # the mesh (quantized corpus shards over the corpus axes: 2x docs per
-    # MESH).
+    # pallas-gather keeps a single-chip row-DMA corpus copy (forces --mesh
+    # off); int8 composes with the mesh (2x docs per MESH) and with a host
+    # corpus (1-byte streamed chunks) but not all three -- a quantized host
+    # corpus streams to one chip.
     mesh = None
-    if not args.use_pallas_gather and not args.corpus_on_host:
+    if not args.use_pallas_gather and not (args.corpus_on_host and args.quantize):
         mesh = mesh_from_flag(args.mesh, label,
                               n_model=args.n_model, n_replica=args.n_replica)
 

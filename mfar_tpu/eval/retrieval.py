@@ -104,8 +104,10 @@ class RetrievalEngine:
         #   (double-buffered; the reference's memmap-scan posture,
         #   reference mfar/data/index.py:181-222).  Corpus size is bounded
         #   by the host, not HBM -- at H2D-bandwidth-bound throughput.
-        #   Dense-only, single-chip, exact mode; prefer mesh/int8 when the
-        #   corpus fits device memory.
+        #   Dense-only, exact mode.  Composes with the mesh (each chunk's
+        #   rows shard over the corpus axes, so aggregate H2D bandwidth
+        #   scales with chip count) or with int8 (single-chip, 1-byte
+        #   chunks); prefer HBM-resident serving when the corpus fits.
     ):
         self.field_info = field_info
         self.doc_keys = list(doc_keys)
@@ -126,10 +128,13 @@ class RetrievalEngine:
         )
         self.corpus_on_host = corpus_on_host
         if corpus_on_host:
-            assert mesh is None and not use_pallas_gather, (
-                "corpus_on_host streams a host corpus to ONE chip; use the "
-                "mesh (sharded HBM) for capacity when the corpus fits "
-                "device memory (int8 composes with BOTH)"
+            assert not use_pallas_gather, (
+                "corpus_on_host has no device-resident corpus for the "
+                "Pallas rerank gather"
+            )
+            assert mesh is None or quantize is None, (
+                "corpus_on_host composes with int8 OR the mesh, not both "
+                "(no distributed int8 streamed scan yet)"
             )
             assert not sparse_keys(field_info), (
                 "corpus_on_host is dense-only: hybrid scoring needs the "
@@ -206,7 +211,10 @@ class RetrievalEngine:
                 e = fe // fd
                 flat = dense_matrix
             self.emb_dim = e
-            if mesh is not None:
+            if mesh is not None and not corpus_on_host:
+                # (the host-streamed scan pads each CHUNK to the shard
+                # count instead -- padding the host matrix would
+                # materialize a copy of a possibly-disk-backed memmap)
                 # Every shard must hold the same row count -- pad to a
                 # multiple of n_shards ONLY.  The streaming top-k ops handle
                 # a ragged tail chunk per shard, so no chunk-multiple
@@ -596,6 +604,19 @@ class RetrievalEngine:
             if self.docs_host_q is not None:
                 top_s, top_i = dense_topk_host_streamed_int8(
                     qflat, self.docs_host_q, self.docs_host_scales, k
+                )
+            elif self.mesh is not None:
+                # disk-bound capacity x mesh throughput: each chunk's rows
+                # shard over the corpus axes (each chip's PCIe carries only
+                # its shard) and scan via the usual shard_map top-k
+                from mfar_tpu.parallel.topk import (
+                    distributed_dense_topk_host_streamed,
+                )
+
+                top_s, top_i = distributed_dense_topk_host_streamed(
+                    self.mesh, qflat, self.docs_host, k,
+                    transfer_dtype=self._host_transfer_dtype,
+                    axis=self._corpus_axes,
                 )
             else:
                 top_s, top_i = dense_topk_host_streamed(

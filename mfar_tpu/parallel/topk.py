@@ -755,3 +755,95 @@ def distributed_fused_hybrid_topk_postings(
         chunk_size, axis, query_axis,
     )
     return run(q, W, mask, docs_flat, post_ids, post_vals, post_field)
+
+
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_host_stream_ops(mesh, kk: int):
+    """(init, merge) for the mesh host stream's cross-chunk carry: init
+    offsets a chunk's ids to global rows and pads the carry to kk; merge
+    folds the next chunk in.  Replicated out-shardings so the final fetch
+    works under multi-host."""
+    rep = NamedSharding(mesh, P())
+
+    @partial(jax.jit, static_argnames=("kk",), out_shardings=rep)
+    def _init(b_s, b_i, off, kk):
+        return _pad_topk(b_s, b_i + off, kk)
+
+    @partial(jax.jit, static_argnames=("kk",), out_shardings=rep)
+    def _merge(a_s, a_i, b_s, b_i, off, kk):
+        cat_s = jnp.concatenate([a_s, b_s], axis=-1)
+        cat_i = jnp.concatenate([a_i, b_i + off], axis=-1)
+        top_s, sel = jax.lax.top_k(cat_s, kk)
+        return top_s, jnp.take_along_axis(cat_i, sel, axis=-1)
+
+    return (
+        lambda b_s, b_i, off: _init(b_s, b_i, off, kk),
+        lambda a_s, a_i, b_s, b_i, off: _merge(a_s, a_i, b_s, b_i, off, kk),
+    )
+
+
+def distributed_dense_topk_host_streamed(
+    mesh,
+    qflat: jax.Array,  # [B, F*E] folded queries
+    docs_host,  # np.ndarray/memmap [N, F*E] -- HOST-resident corpus
+    k: int,
+    chunk_size: int = 262144,
+    transfer_dtype=None,
+    axis: AxisSpec = DATA_AXIS,
+) -> Tuple[jax.Array, jax.Array]:  # [B, k] scores, global row ids
+    """Mesh twin of :func:`mfar_tpu.ops.scoring.dense_topk_host_streamed`:
+    the corpus stays on the HOST (bounded by disk/RAM) while each streamed
+    chunk shards its rows over the corpus axes -- every chip's PCIe link
+    carries only its shard, so aggregate H2D bandwidth scales with the
+    chip count, and each chunk's scan runs as the usual shard_map
+    distributed top-k.  Under a multi-host mesh the per-chunk device_put
+    moves only each process's addressable shards (a disk memmap then pages
+    in only local rows).  Same backpressure rule as the single-chip
+    stream: one tiny fetch per chunk bounds in-flight H2D buffers."""
+    n, fe = docs_host.shape
+    assert n > 0 and k >= 1
+    n_shards = _axis_size(mesh, axis)
+    # every shard must get equal rows per chunk: round the chunk to the
+    # shard count and pad the tail chunk to the one compiled shape
+    chunk_size = max(chunk_size // n_shards, 1) * n_shards
+    kk = min(k, n)
+    n_chunks = -(-n // chunk_size)
+    row_sh = NamedSharding(mesh, P(axis))
+
+    if transfer_dtype is not None:
+        qflat = qflat.astype(transfer_dtype)
+    (qflat,) = _replicate(mesh, qflat)
+
+    def put_chunk(i):
+        lo = i * chunk_size
+        hi = min(n, lo + chunk_size)
+        c = np.asarray(docs_host[lo:hi])
+        if transfer_dtype is not None:
+            c = c.astype(jnp.dtype(transfer_dtype), copy=False)
+        # pad the tail chunk to the one compiled shape; a LONE chunk only
+        # needs shard divisibility (rows pad to the shard count, masked
+        # via the valid row count)
+        target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
+        if hi - lo < target:
+            c = np.pad(c, ((0, target - (hi - lo)), (0, 0)))
+        return jax.device_put(c, row_sh), lo, hi - lo
+
+    k_chunk = min(kk, chunk_size)
+    init, merge = _build_host_stream_ops(mesh, kk)
+    nxt = put_chunk(0)
+    out = None
+    for i in range(n_chunks):
+        cur, lo, valid = nxt
+        if i + 1 < n_chunks:
+            nxt = put_chunk(i + 1)  # async H2D of the next chunk's shards
+        ts, ti = distributed_dense_topk(
+            mesh, qflat, cur, valid_n=valid, k=k_chunk,
+            chunk_size=chunk_size // n_shards, axis=axis,
+        )
+        if out is None:
+            out = init(ts, ti, jnp.int32(lo))
+        else:
+            out = merge(*out, ts, ti, jnp.int32(lo))
+        if i + 1 < n_chunks:
+            np.asarray(out[0][:1, :1])  # backpressure (see docstring)
+    return _pad_topk(*out, k)

@@ -79,6 +79,30 @@ def test_k_exceeds_corpus():
     assert s.shape == (2, 10) and np.all(np.asarray(s)[:, 7:] == -np.inf)
 
 
+@pytest.mark.parametrize("n,chunk", [(1000, 256), (300, 512), (520, 256)])
+def test_distributed_streamed_matches_single_chip(n, chunk):
+    """The mesh host stream (chunks sharded over the corpus axis, shard_map
+    scan per chunk) returns the same ids as the single-chip stream; scores
+    to fp32 tolerance (different reduction layouts)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mfar_tpu.parallel.topk import distributed_dense_topk_host_streamed
+
+    rng = np.random.default_rng(5)
+    docs = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(4, 64)).astype(np.float32)
+    k = 30
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8, 1),
+                axis_names=("replica", "data", "model"))
+    s1, i1 = distributed_dense_topk_host_streamed(
+        mesh, jnp.asarray(q), docs, k, chunk_size=chunk, axis="data"
+    )
+    s2, i2 = dense_topk_host_streamed(jnp.asarray(q), docs, k, chunk_size=chunk)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("n,chunk", [(1000, 256), (300, 512)])
 def test_streamed_int8_matches_resident_int8(n, chunk):
     from mfar_tpu.ops.scoring import (
