@@ -125,8 +125,8 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
                         "chunks to the device(s) per scan (capacity beyond "
                         "HBM, at H2D-bandwidth-bound throughput; dense-only, "
                         "exact mode; composes with the mesh -- each chip "
-                        "streams only its row shard -- or with --quantize "
-                        "int8 single-chip)")
+                        "streams only its row shard -- and with --quantize "
+                        "int8 for 1-byte chunks)")
     p.add_argument("--dense-topk", default="exact", choices=["exact", "approx"],
                    help="dense top-k selection in exact mode: exact sort, or "
                         "the TPU PartialReduce (recall>=0.95, ~2x faster at "
@@ -209,10 +209,10 @@ def build_engine(args, label: str = "engine"):
 
     # pallas-gather keeps a single-chip row-DMA corpus copy (forces --mesh
     # off); int8 composes with the mesh (2x docs per MESH) and with a host
-    # corpus (1-byte streamed chunks) but not all three -- a quantized host
-    # corpus streams to one chip.
+    # corpus (1-byte streamed chunks), including all three together (each
+    # chip streams its int8 row shard).
     mesh = None
-    if not args.use_pallas_gather and not (args.corpus_on_host and args.quantize):
+    if not args.use_pallas_gather:
         mesh = mesh_from_flag(args.mesh, label,
                               n_model=args.n_model, n_replica=args.n_replica)
 

@@ -106,8 +106,9 @@ class RetrievalEngine:
         #   by the host, not HBM -- at H2D-bandwidth-bound throughput.
         #   Dense-only, exact mode.  Composes with the mesh (each chunk's
         #   rows shard over the corpus axes, so aggregate H2D bandwidth
-        #   scales with chip count) or with int8 (single-chip, 1-byte
-        #   chunks); prefer HBM-resident serving when the corpus fits.
+        #   scales with chip count) and with int8 (1-byte chunks),
+        #   including both together; prefer HBM-resident serving when the
+        #   corpus fits.
     ):
         self.field_info = field_info
         self.doc_keys = list(doc_keys)
@@ -131,10 +132,6 @@ class RetrievalEngine:
             assert not use_pallas_gather, (
                 "corpus_on_host has no device-resident corpus for the "
                 "Pallas rerank gather"
-            )
-            assert mesh is None or quantize is None, (
-                "corpus_on_host composes with int8 OR the mesh, not both "
-                "(no distributed int8 streamed scan yet)"
             )
             assert not sparse_keys(field_info), (
                 "corpus_on_host is dense-only: hybrid scoring needs the "
@@ -601,7 +598,16 @@ class RetrievalEngine:
             weights = self._field_weights(q)
             weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
             qflat = fold_queries(q, weights[:, :fd])
-            if self.docs_host_q is not None:
+            if self.docs_host_q is not None and self.mesh is not None:
+                from mfar_tpu.parallel.topk import (
+                    distributed_dense_topk_host_streamed_int8,
+                )
+
+                top_s, top_i = distributed_dense_topk_host_streamed_int8(
+                    self.mesh, qflat, self.docs_host_q, self.docs_host_scales,
+                    k, axis=self._corpus_axes,
+                )
+            elif self.docs_host_q is not None:
                 top_s, top_i = dense_topk_host_streamed_int8(
                     qflat, self.docs_host_q, self.docs_host_scales, k
                 )

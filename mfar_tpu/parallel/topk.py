@@ -847,3 +847,64 @@ def distributed_dense_topk_host_streamed(
         if i + 1 < n_chunks:
             np.asarray(out[0][:1, :1])  # backpressure (see docstring)
     return _pad_topk(*out, k)
+
+
+def distributed_dense_topk_host_streamed_int8(
+    mesh,
+    qflat: jax.Array,  # [B, F*E] folded queries (float)
+    docs_q_host,  # np.ndarray/memmap [N, F*E] int8 (quantize_rows_int8_np)
+    scales_host,  # np.ndarray [N] f32 per-row scales
+    k: int,
+    chunk_size: int = 262144,
+    axis: AxisSpec = DATA_AXIS,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 twin of :func:`distributed_dense_topk_host_streamed`: the host
+    corpus is pre-quantized, so each chip's PCIe shard moves 1 byte per
+    element -- the two capacity knobs (disk-bound corpus, halved stream)
+    and the mesh's aggregate-bandwidth scaling compose."""
+    n, fe = docs_q_host.shape
+    assert n > 0 and k >= 1 and scales_host.shape == (n,)
+    n_shards = _axis_size(mesh, axis)
+    chunk_size = max(chunk_size // n_shards, 1) * n_shards
+    kk = min(k, n)
+    n_chunks = -(-n // chunk_size)
+    row_sh = NamedSharding(mesh, P(axis))
+
+    (qflat,) = _replicate(mesh, qflat)
+
+    def put_chunk(i):
+        lo = i * chunk_size
+        hi = min(n, lo + chunk_size)
+        cq = np.asarray(docs_q_host[lo:hi])
+        cs = np.asarray(scales_host[lo:hi], np.float32)
+        target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
+        if hi - lo < target:
+            pad = target - (hi - lo)
+            cq = np.pad(cq, ((0, pad), (0, 0)))
+            cs = np.pad(cs, (0, pad))
+        return (
+            jax.device_put(cq, row_sh),
+            jax.device_put(cs, row_sh),
+            lo,
+            hi - lo,
+        )
+
+    k_chunk = min(kk, chunk_size)
+    init, merge = _build_host_stream_ops(mesh, kk)
+    nxt = put_chunk(0)
+    out = None
+    for i in range(n_chunks):
+        cq, cs, lo, valid = nxt
+        if i + 1 < n_chunks:
+            nxt = put_chunk(i + 1)  # async H2D of the next chunk's shards
+        ts, ti = distributed_dense_topk_int8(
+            mesh, qflat, cq, cs, valid_n=valid, k=k_chunk,
+            chunk_size=chunk_size // n_shards, exact=True, axis=axis,
+        )
+        if out is None:
+            out = init(ts, ti, jnp.int32(lo))
+        else:
+            out = merge(*out, ts, ti, jnp.int32(lo))
+        if i + 1 < n_chunks:
+            np.asarray(out[0][:1, :1])  # backpressure
+    return _pad_topk(*out, k)

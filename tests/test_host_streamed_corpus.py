@@ -104,6 +104,32 @@ def test_distributed_streamed_matches_single_chip(n, chunk):
 
 
 @pytest.mark.parametrize("n,chunk", [(1000, 256), (300, 512)])
+def test_distributed_streamed_int8_matches_single_chip(n, chunk):
+    import jax
+    from jax.sharding import Mesh
+
+    from mfar_tpu.ops.scoring import (
+        dense_topk_host_streamed_int8,
+        quantize_rows_int8_np,
+    )
+    from mfar_tpu.parallel.topk import distributed_dense_topk_host_streamed_int8
+
+    rng = np.random.default_rng(6)
+    docs = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(4, 64)).astype(np.float32)
+    dq, ds = quantize_rows_int8_np(docs)
+    k = 30
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8, 1),
+                axis_names=("replica", "data", "model"))
+    s1, i1 = distributed_dense_topk_host_streamed_int8(
+        mesh, jnp.asarray(q), dq, ds, k, chunk_size=chunk, axis="data"
+    )
+    s2, i2 = dense_topk_host_streamed_int8(jnp.asarray(q), dq, ds, k, chunk_size=chunk)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,chunk", [(1000, 256), (300, 512)])
 def test_streamed_int8_matches_resident_int8(n, chunk):
     from mfar_tpu.ops.scoring import (
         dense_topk_chunked_int8,
