@@ -210,9 +210,11 @@ def build_engine(args, label: str = "engine"):
     # pallas-gather keeps a single-chip row-DMA corpus copy (forces --mesh
     # off); int8 composes with the mesh (2x docs per MESH) and with a host
     # corpus (1-byte streamed chunks), including all three together (each
-    # chip streams its int8 row shard).
+    # chip streams its int8 row shard).  HYBRID on a host corpus is
+    # single-chip (the per-chunk postings scatter is not mesh-composed).
     mesh = None
-    if not args.use_pallas_gather:
+    hybrid_host = args.corpus_on_host and bool(sparse_keys(field_info))
+    if not args.use_pallas_gather and not hybrid_host:
         mesh = mesh_from_flag(args.mesh, label,
                               n_model=args.n_model, n_replica=args.n_replica)
 

@@ -133,10 +133,13 @@ class RetrievalEngine:
                 "corpus_on_host has no device-resident corpus for the "
                 "Pallas rerank gather"
             )
-            assert not sparse_keys(field_info), (
-                "corpus_on_host is dense-only: hybrid scoring needs the "
-                "fused device-resident scan (shard the corpus over a mesh "
-                "for hybrid capacity)"
+            assert not sparse_keys(field_info) or (
+                mesh is None and quantize is None
+            ), (
+                "hybrid corpus_on_host is single-chip full-precision: the "
+                "per-chunk postings scatter is not composed with the mesh "
+                "or int8 streams (drop --quantize / pass --mesh off, or "
+                "use a device-resident corpus for hybrid at mesh scale)"
             )
         self.n_docs = len(self.doc_keys)
         self.mesh = mesh
@@ -598,6 +601,33 @@ class RetrievalEngine:
             weights = self._field_weights(q)
             weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
             qflat = fold_queries(q, weights[:, :fd])
+            if self.sparse_keys:
+                # hybrid host stream (single-chip full-precision, see the
+                # constructor assert): postings stay device-resident and
+                # scatter per chunk; the dense-postings fallback streams
+                # the combined host tensor chunk-by-chunk instead
+                from mfar_tpu.ops.scoring import hybrid_topk_host_streamed
+
+                cleaned = [clean_query(t) for t in queries]
+                raw = self._sparse_postings_raw(cleaned)
+                wnp = np.asarray(weights)  # [B, F]: one tiny fetch
+                if raw is not None:
+                    ids, vals, fidx = raw
+                    wvals = vals * np.take_along_axis(wnp, fd + fidx, axis=1)
+                    top_s, top_i = hybrid_topk_host_streamed(
+                        qflat, self.docs_host, k,
+                        transfer_dtype=self._host_transfer_dtype,
+                        post_ids=jnp.asarray(ids),
+                        post_wvals=jnp.asarray(wvals.astype(np.float32)),
+                    )
+                else:
+                    sparse_comb = self._sparse_full_scores(cleaned, wnp)
+                    top_s, top_i = hybrid_topk_host_streamed(
+                        qflat, self.docs_host, k,
+                        transfer_dtype=self._host_transfer_dtype,
+                        sparse_comb_host=sparse_comb,
+                    )
+                return ("device", top_s, top_i)
             if self.docs_host_q is not None and self.mesh is not None:
                 from mfar_tpu.parallel.topk import (
                     distributed_dense_topk_host_streamed_int8,

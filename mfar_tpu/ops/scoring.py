@@ -206,6 +206,44 @@ def _host_stream_chunk_topk(qflat, chunk_docs, offset, valid_n, k):
 
 
 @partial(jax.jit, static_argnames=("k",))
+def _host_stream_chunk_topk_hybrid(
+    qflat, chunk_docs, post_ids, post_wvals, offset, valid_n, k
+):
+    """Hybrid chunk: the postings landing in [offset, offset+c) scatter-add
+    into this chunk's score tile (ids are GLOBAL corpus rows; out-of-range
+    postings are masked to zero contributions at row 0), so the [B, N]
+    densified sparse tensor never exists -- the whole point of streaming a
+    corpus that exceeds device memory."""
+    b, c = qflat.shape[0], chunk_docs.shape[0]
+    s = jnp.dot(qflat, chunk_docs.T, preferred_element_type=jnp.float32)
+    rel = post_ids - offset
+    in_range = (rel >= 0) & (rel < c)
+    rel = jnp.where(in_range, rel, 0)
+    vals = jnp.where(in_range, post_wvals, 0.0)
+    s = s.at[jnp.arange(b)[:, None], rel].add(vals)
+    idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    s = jnp.where(idx < valid_n, s, -jnp.inf)
+    top_s, sel = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _host_stream_chunk_topk_sparse_comb(
+    qflat, chunk_docs, chunk_sparse, offset, valid_n, k
+):
+    """Dense-postings fallback chunk: the pre-combined sparse scores stream
+    from the host alongside the doc rows (same layout as
+    :func:`hybrid_topk_chunked`'s chunks)."""
+    c = chunk_docs.shape[0]
+    s = jnp.dot(qflat, chunk_docs.T, preferred_element_type=jnp.float32)
+    s = s + chunk_sparse.astype(jnp.float32)
+    idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    s = jnp.where(idx < valid_n, s, -jnp.inf)
+    top_s, sel = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
 def _host_stream_chunk_topk_int8(q8, q_scale, chunk_q, chunk_scales, offset, valid_n, k):
     """int8 twin of :func:`_host_stream_chunk_topk`: (q8 . d8) int32 matmul
     rescaled by both sides' per-row scales (same math as
@@ -302,6 +340,68 @@ def dense_topk_host_streamed(
     def run_chunk(cur, lo):
         return _host_stream_chunk_topk(
             qflat, cur, jnp.int32(lo), jnp.int32(n), k_chunk
+        )
+
+    return _host_stream_loop(put_chunk, run_chunk, n_chunks, kk, k)
+
+
+def hybrid_topk_host_streamed(
+    qflat: jax.Array,  # [B, Fd*E] folded queries (device)
+    docs_host,  # np.ndarray/memmap [N, Fd*E] -- HOST-resident corpus
+    k: int,
+    chunk_size: int = 262144,
+    transfer_dtype=None,
+    post_ids=None,  # [B, M] i32 GLOBAL corpus rows (0-padded) -- device
+    post_wvals=None,  # [B, M] f32 weight-premultiplied impacts -- device
+    sparse_comb_host=None,  # [B, N] pre-combined host tensor (fallback when
+    #                         postings are denser than the corpus)
+) -> Tuple[jax.Array, jax.Array]:
+    """Hybrid twin of :func:`dense_topk_host_streamed`: exact full-corpus
+    dense+BM25 retrieval over a corpus that never sits in HBM whole.  The
+    query terms' postings stay device-resident (O(nnz)) and each chunk
+    scatter-adds the postings in its row range; alternatively a host
+    ``sparse_comb_host`` streams chunk-by-chunk next to the doc rows."""
+    import numpy as np  # host-side slicing/padding only
+
+    assert (post_ids is None) != (sparse_comb_host is None), (
+        "exactly one sparse representation: postings or a combined tensor"
+    )
+    n, fe = docs_host.shape
+    assert n > 0 and k >= 1
+    kk = min(k, n)
+    k_chunk = min(kk, chunk_size)
+    n_chunks = -(-n // chunk_size)
+
+    if transfer_dtype is not None:
+        qflat = qflat.astype(transfer_dtype)
+
+    def put_chunk(i):
+        lo = i * chunk_size
+        hi = min(n, lo + chunk_size)
+        c = np.asarray(docs_host[lo:hi])
+        if transfer_dtype is not None:
+            c = c.astype(jnp.dtype(transfer_dtype), copy=False)
+        sp = None
+        if sparse_comb_host is not None:
+            sp = np.asarray(sparse_comb_host[:, lo:hi], np.float32)
+        if hi - lo < chunk_size and n_chunks > 1:
+            pad = chunk_size - (hi - lo)
+            c = np.pad(c, ((0, pad), (0, 0)))
+            if sp is not None:
+                sp = np.pad(sp, ((0, 0), (0, pad)))
+        return (
+            jax.device_put(c),
+            None if sp is None else jax.device_put(sp),
+            lo,
+        )
+
+    def run_chunk(cur, sp, lo):
+        if sp is not None:
+            return _host_stream_chunk_topk_sparse_comb(
+                qflat, cur, sp, jnp.int32(lo), jnp.int32(n), k_chunk
+            )
+        return _host_stream_chunk_topk_hybrid(
+            qflat, cur, post_ids, post_wvals, jnp.int32(lo), jnp.int32(n), k_chunk
         )
 
     return _host_stream_loop(put_chunk, run_chunk, n_chunks, kk, k)

@@ -151,6 +151,70 @@ def test_streamed_int8_matches_resident_int8(n, chunk):
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), rtol=2e-6)
 
 
+@pytest.mark.parametrize("n,chunk", [(1000, 256), (300, 512)])
+def test_hybrid_streamed_matches_resident(n, chunk):
+    """Both sparse representations of the hybrid host stream (per-chunk
+    postings scatter; streamed combined tensor) match the resident
+    hybrid_topk_chunked ids exactly."""
+    from mfar_tpu.ops.scoring import hybrid_topk_chunked, hybrid_topk_host_streamed
+
+    rng = np.random.default_rng(7)
+    b, k = 4, 30
+    docs = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(b, 64)).astype(np.float32)
+    m = 64  # postings per query
+    ids = rng.integers(0, n, size=(b, m)).astype(np.int32)
+    wvals = np.abs(rng.normal(size=(b, m))).astype(np.float32) * 3
+    comb = np.zeros((b, n), np.float32)
+    np.add.at(comb, (np.arange(b)[:, None], ids), wvals)
+
+    want_s, want_i = hybrid_topk_chunked(
+        jnp.asarray(q), jnp.asarray(docs), jnp.asarray(comb), jnp.int32(n),
+        k=k, chunk_size=chunk,
+    )
+    got_s, got_i = hybrid_topk_host_streamed(
+        jnp.asarray(q), docs, k, chunk_size=chunk,
+        post_ids=jnp.asarray(ids), post_wvals=jnp.asarray(wvals),
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+    got_s2, got_i2 = hybrid_topk_host_streamed(
+        jnp.asarray(q), docs, k, chunk_size=chunk, sparse_comb_host=comb
+    )
+    np.testing.assert_array_equal(np.asarray(got_i2), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s2), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_retrieve_cli_hybrid_corpus_on_host(tmp_path):
+    """Hybrid (dense+BM25) retrieval through the CLI with a host corpus
+    matches the resident engine ranking exactly (f32)."""
+    from mfar_tpu.commands import (
+        create_sparse_index,
+        make_synth_data,
+        retrieve as retrieve_cmd,
+    )
+    from mfar_tpu.data import trec
+
+    ds, idx = str(tmp_path / "ds"), str(tmp_path / "idx")
+    make_synth_data.main(["--out", ds, "--n-docs", "40", "--n-train", "8", "--n-val", "4"])
+    create_sparse_index.main(["--data-path", ds, "--dataset-name", "amazon",
+                              "--output-path", idx,
+                              "--fields-str", "title_sparse,single_sparse"])
+    base = ["--dataset-name", "amazon", "--data", ds, "--lexical-index", idx,
+            "--field-names", "title_dense,title_sparse", "--model-name", "synthetic",
+            "--partition", "val", "--recall-k", "10", "--top-k", "10",
+            "--dense-dtype", "f32"]
+    out_res = str(tmp_path / "res.qres")
+    retrieve_cmd.main(base + ["--out", out_res, "--mesh", "off"])
+    out_host = str(tmp_path / "host.qres")
+    retrieve_cmd.main(base + ["--out", out_host, "--corpus-on-host"])
+    rows = lambda p: [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(p)]
+    assert rows(out_host) == rows(out_res) and rows(out_host)
+
+
 def test_npy_index_roundtrip_and_streamed_build(tmp_path):
     """encode_corpus --out .npy: the build streams into a disk memmap
     (identical to the in-RAM build), load_dense_matrix memory-maps it, and
