@@ -1,6 +1,7 @@
 """Engine end-to-end serving benchmark prototype.
 
-python benchmarks/exp_engine.py [dense|hybrid|dense-host|dense-host-int8] [N] [B]
+python benchmarks/exp_engine.py \
+    [dense|hybrid|dense-host|dense-host-int8|hybrid-host] [N] [B]
 
 Measures RetrievalEngine.retrieve (tokenize + encode + fold + fused top-k +
 id mapping) with a contriever-base-shape random-init encoder over a
@@ -26,8 +27,8 @@ def main():
     from synth_engine import make_world, random_queries
 
     world = make_world(
-        N, hybrid=(mode == "hybrid"),
-        corpus_on_host=mode.startswith("dense-host"),
+        N, hybrid=mode.startswith("hybrid"),
+        corpus_on_host="-host" in mode,
         quantize="int8" if mode == "dense-host-int8" else None,
     )
     engine, tok = world["engine"], world["tok"]
@@ -77,7 +78,7 @@ def main():
     tok_ms = best(lambda: tok.encode_batch(cleaned, 64))
     enc_ms = best(lambda: float(engine.encode_queries(queries).sum()))
     parts = {"tokenize_host": tok_ms, "encode_plus_fetch": enc_ms}
-    if mode == "hybrid":
+    if mode.startswith("hybrid"):
         bm = sparse_indices["title_sparse"]
         parts["postings_host"] = best(lambda: bm.get_postings_batch(cleaned))
     parts["dispatch_host"] = best(lambda: engine._dispatch_exact(queries, 100))
