@@ -32,6 +32,9 @@ def main():
 
     _cc()
     variant = sys.argv[1] if len(sys.argv) > 1 else "all"
+    assert variant in ("xla", "pallas", "xrow", "mc", "all"), (
+        f"unknown variant {variant!r}"
+    )  # fail BEFORE paying the corpus-size row-DMA copy
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
     b = int(sys.argv[3]) if len(sys.argv) > 3 else 256
     c = int(sys.argv[4]) if len(sys.argv) > 4 else 128

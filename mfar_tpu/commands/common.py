@@ -123,10 +123,10 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--corpus-on-host", action="store_true",
                    help="keep the dense corpus in HOST RAM/memmap and stream "
                         "chunks to the device(s) per scan (capacity beyond "
-                        "HBM, at H2D-bandwidth-bound throughput; dense-only, "
-                        "exact mode; composes with the mesh -- each chip "
-                        "streams only its row shard -- and with --quantize "
-                        "int8 for 1-byte chunks)")
+                        "HBM, at H2D-bandwidth-bound throughput; exact mode, "
+                        "hybrid-capable single-chip; composes with the mesh "
+                        "-- each chip streams only its row shard -- and with "
+                        "--quantize int8 for 1-byte chunks, dense-only)")
     p.add_argument("--dense-topk", default="exact", choices=["exact", "approx"],
                    help="dense top-k selection in exact mode: exact sort, or "
                         "the TPU PartialReduce (recall>=0.95, ~2x faster at "

@@ -96,12 +96,20 @@ def main(argv=None) -> None:
         # Raw .npy: build STREAMS into the disk memmap (host RAM stays
         # O(batch window), so corpora beyond RAM can be encoded) and the
         # file can be memory-mapped at serving time (--corpus-on-host).
-        # One tiny probe encode determines the embedding dim (projection
-        # heads make it differ from config.hidden_size for some models).
-        toks = tokenizer.encode_batch(["probe"], 8)
-        e = int(np.asarray(
-            encode(jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]))
-        ).shape[-1])
+        # The embedding dim comes from an abstract trace (projection heads
+        # make it differ from config.hidden_size for some models) -- no
+        # compile; a real probe encode (one extra ~20-40 s remote compile
+        # for a throwaway shape) only as fallback if the encode wrapper
+        # does host work eval_shape cannot trace.
+        sds = jax.ShapeDtypeStruct((1, 8), jnp.int32)
+        try:
+            e = int(jax.eval_shape(encode, sds, sds).shape[-1])
+        except Exception:
+            toks = tokenizer.encode_batch(["probe"], 8)
+            e = int(np.asarray(
+                encode(jnp.asarray(toks["input_ids"]),
+                       jnp.asarray(toks["attention_mask"]))
+            ).shape[-1])
         out_target = np.lib.format.open_memmap(
             args.out, mode="w+", dtype=np.float32,
             shape=(len(corpus), len(dense_fields), e),

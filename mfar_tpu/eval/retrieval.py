@@ -104,7 +104,8 @@ class RetrievalEngine:
         #   (double-buffered; the reference's memmap-scan posture,
         #   reference mfar/data/index.py:181-222).  Corpus size is bounded
         #   by the host, not HBM -- at H2D-bandwidth-bound throughput.
-        #   Dense-only, exact mode.  Composes with the mesh (each chunk's
+        #   Exact mode; hybrid-capable single-chip (postings scatter per
+        #   chunk).  Dense serving composes with the mesh (each chunk's
         #   rows shard over the corpus axes, so aggregate H2D bandwidth
         #   scales with chip count) and with int8 (1-byte chunks),
         #   including both together; prefer HBM-resident serving when the

@@ -36,8 +36,8 @@ def bucket_width(m: int, base: int = 128) -> int:
 
 def load_library():
     global _lib
-    if _lib is not None:
-        return _lib
+    # env check FIRST: the switch must work even after an earlier call in
+    # the same process cached the library (e.g. a monkeypatched test)
     if os.environ.get("MFAR_DISABLE_NATIVE"):
         # Forced scipy/python fallback: lets tests (and operators debugging
         # a suspect .so) exercise the degraded path without deleting the

@@ -329,12 +329,14 @@ def dense_topk_host_streamed(
     def put_chunk(i):
         lo = i * chunk_size
         hi = min(n, lo + chunk_size)
-        c = np.asarray(docs_host[lo:hi])
+        # memmap slices pass through uncopied on the common full-chunk
+        # uncast path (device_put copies straight from the mapping)
+        c = docs_host[lo:hi]
         if transfer_dtype is not None:
-            c = c.astype(jnp.dtype(transfer_dtype), copy=False)
+            c = np.asarray(c).astype(jnp.dtype(transfer_dtype), copy=False)
         if hi - lo < chunk_size and n_chunks > 1:
             # pad the tail to the compiled chunk shape (masked via valid_n)
-            c = np.pad(c, ((0, chunk_size - (hi - lo)), (0, 0)))
+            c = np.pad(np.asarray(c), ((0, chunk_size - (hi - lo)), (0, 0)))
         return jax.device_put(c), lo
 
     def run_chunk(cur, lo):
@@ -378,15 +380,15 @@ def hybrid_topk_host_streamed(
     def put_chunk(i):
         lo = i * chunk_size
         hi = min(n, lo + chunk_size)
-        c = np.asarray(docs_host[lo:hi])
+        c = docs_host[lo:hi]  # memmap slices pass through uncopied
         if transfer_dtype is not None:
-            c = c.astype(jnp.dtype(transfer_dtype), copy=False)
+            c = np.asarray(c).astype(jnp.dtype(transfer_dtype), copy=False)
         sp = None
         if sparse_comb_host is not None:
             sp = np.asarray(sparse_comb_host[:, lo:hi], np.float32)
         if hi - lo < chunk_size and n_chunks > 1:
             pad = chunk_size - (hi - lo)
-            c = np.pad(c, ((0, pad), (0, 0)))
+            c = np.pad(np.asarray(c), ((0, pad), (0, 0)))
             if sp is not None:
                 sp = np.pad(sp, ((0, 0), (0, pad)))
         return (
@@ -433,11 +435,11 @@ def dense_topk_host_streamed_int8(
     def put_chunk(i):
         lo = i * chunk_size
         hi = min(n, lo + chunk_size)
-        cq = np.asarray(docs_q_host[lo:hi])
+        cq = docs_q_host[lo:hi]  # memmap slices pass through uncopied
         cs = np.asarray(scales_host[lo:hi], np.float32)
         if hi - lo < chunk_size and n_chunks > 1:
             pad = chunk_size - (hi - lo)
-            cq = np.pad(cq, ((0, pad), (0, 0)))
+            cq = np.pad(np.asarray(cq), ((0, pad), (0, 0)))
             cs = np.pad(cs, (0, pad))
         return jax.device_put(cq), jax.device_put(cs), lo
 

@@ -817,18 +817,38 @@ def distributed_dense_topk_host_streamed(
     def put_chunk(i):
         lo = i * chunk_size
         hi = min(n, lo + chunk_size)
-        c = np.asarray(docs_host[lo:hi])
+        # no np.asarray on the common (full, uncast) chunk: device_put of a
+        # memmap slice reads only each addressable shard's rows, so under a
+        # multi-host mesh a disk-backed corpus pages in LOCAL rows only
+        c = docs_host[lo:hi]
         if transfer_dtype is not None:
-            c = c.astype(jnp.dtype(transfer_dtype), copy=False)
+            c = np.asarray(c).astype(jnp.dtype(transfer_dtype), copy=False)
         # pad the tail chunk to the one compiled shape; a LONE chunk only
         # needs shard divisibility (rows pad to the shard count, masked
         # via the valid row count)
         target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
         if hi - lo < target:
-            c = np.pad(c, ((0, target - (hi - lo)), (0, 0)))
-        return jax.device_put(c, row_sh), lo, hi - lo
+            c = np.pad(np.asarray(c), ((0, target - (hi - lo)), (0, 0)))
+        return (jax.device_put(c, row_sh),), lo, hi - lo
 
     k_chunk = min(kk, chunk_size)
+
+    def run_chunk(chunk, valid):
+        return distributed_dense_topk(
+            mesh, qflat, chunk[0], valid_n=valid, k=k_chunk,
+            chunk_size=chunk_size // n_shards, axis=axis,
+        )
+
+    return _mesh_host_stream_loop(mesh, put_chunk, run_chunk, n_chunks, kk, k)
+
+
+def _mesh_host_stream_loop(mesh, put_chunk, run_chunk, n_chunks, kk, k):
+    """Shared double-buffered loop for the mesh host streams (the mesh twin
+    of :func:`mfar_tpu.ops.scoring._host_stream_loop`): device_put of chunk
+    i+1's shards dispatches before chunk i's scan, the replicated carry
+    merges with global-row offsets, and a one-element fetch per chunk bounds
+    in-flight H2D buffers (backpressure; ``block_until_ready`` does not
+    block through the TPU relay)."""
     init, merge = _build_host_stream_ops(mesh, kk)
     nxt = put_chunk(0)
     out = None
@@ -836,10 +856,7 @@ def distributed_dense_topk_host_streamed(
         cur, lo, valid = nxt
         if i + 1 < n_chunks:
             nxt = put_chunk(i + 1)  # async H2D of the next chunk's shards
-        ts, ti = distributed_dense_topk(
-            mesh, qflat, cur, valid_n=valid, k=k_chunk,
-            chunk_size=chunk_size // n_shards, axis=axis,
-        )
+        ts, ti = run_chunk(cur, valid)
         if out is None:
             out = init(ts, ti, jnp.int32(lo))
         else:
@@ -875,36 +892,28 @@ def distributed_dense_topk_host_streamed_int8(
     def put_chunk(i):
         lo = i * chunk_size
         hi = min(n, lo + chunk_size)
-        cq = np.asarray(docs_q_host[lo:hi])
+        # memmap slices pass through uncopied on the common full-chunk path
+        # (device_put reads only each addressable shard's rows)
+        cq = docs_q_host[lo:hi]
         cs = np.asarray(scales_host[lo:hi], np.float32)
         target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
         if hi - lo < target:
             pad = target - (hi - lo)
-            cq = np.pad(cq, ((0, pad), (0, 0)))
+            cq = np.pad(np.asarray(cq), ((0, pad), (0, 0)))
             cs = np.pad(cs, (0, pad))
         return (
-            jax.device_put(cq, row_sh),
-            jax.device_put(cs, row_sh),
+            (jax.device_put(cq, row_sh), jax.device_put(cs, row_sh)),
             lo,
             hi - lo,
         )
 
     k_chunk = min(kk, chunk_size)
-    init, merge = _build_host_stream_ops(mesh, kk)
-    nxt = put_chunk(0)
-    out = None
-    for i in range(n_chunks):
-        cq, cs, lo, valid = nxt
-        if i + 1 < n_chunks:
-            nxt = put_chunk(i + 1)  # async H2D of the next chunk's shards
-        ts, ti = distributed_dense_topk_int8(
+
+    def run_chunk(chunk, valid):
+        cq, cs = chunk
+        return distributed_dense_topk_int8(
             mesh, qflat, cq, cs, valid_n=valid, k=k_chunk,
             chunk_size=chunk_size // n_shards, exact=True, axis=axis,
         )
-        if out is None:
-            out = init(ts, ti, jnp.int32(lo))
-        else:
-            out = merge(*out, ts, ti, jnp.int32(lo))
-        if i + 1 < n_chunks:
-            np.asarray(out[0][:1, :1])  # backpressure
-    return _pad_topk(*out, k)
+
+    return _mesh_host_stream_loop(mesh, put_chunk, run_chunk, n_chunks, kk, k)
