@@ -123,10 +123,10 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--corpus-on-host", action="store_true",
                    help="keep the dense corpus in HOST RAM/memmap and stream "
                         "chunks to the device(s) per scan (capacity beyond "
-                        "HBM, at H2D-bandwidth-bound throughput; exact mode, "
-                        "hybrid-capable single-chip; composes with the mesh "
-                        "-- each chip streams only its row shard -- and with "
-                        "--quantize int8 for 1-byte chunks, dense-only)")
+                        "HBM, at H2D-bandwidth-bound throughput; exact mode; "
+                        "hybrid-capable; composes with the mesh -- each chip "
+                        "streams only its row shard -- and with --quantize "
+                        "int8 for 1-byte chunks, including all together)")
     p.add_argument("--dense-topk", default="exact", choices=["exact", "approx"],
                    help="dense top-k selection in exact mode: exact sort, or "
                         "the TPU PartialReduce (recall>=0.95, ~2x faster at "
@@ -210,11 +210,11 @@ def build_engine(args, label: str = "engine"):
     # pallas-gather keeps a single-chip row-DMA corpus copy (forces --mesh
     # off); int8 composes with the mesh (2x docs per MESH) and with a host
     # corpus (1-byte streamed chunks), including all three together (each
-    # chip streams its int8 row shard).  HYBRID on a host corpus is
-    # single-chip (the per-chunk postings scatter is not mesh-composed).
+    # chip streams its int8 row shard); hybrid composes with every corpus
+    # representation (per-shard postings scatter, including per streamed
+    # chunk).
     mesh = None
-    hybrid_host = args.corpus_on_host and bool(sparse_keys(field_info))
-    if not args.use_pallas_gather and not hybrid_host:
+    if not args.use_pallas_gather:
         mesh = mesh_from_flag(args.mesh, label,
                               n_model=args.n_model, n_replica=args.n_replica)
 

@@ -134,14 +134,10 @@ class RetrievalEngine:
                 "corpus_on_host has no device-resident corpus for the "
                 "Pallas rerank gather"
             )
-            assert not sparse_keys(field_info) or (
-                mesh is None and quantize is None
-            ), (
-                "hybrid corpus_on_host is single-chip full-precision: the "
-                "per-chunk postings scatter is not composed with the mesh "
-                "or int8 streams (drop --quantize / pass --mesh off, or "
-                "use a device-resident corpus for hybrid at mesh scale)"
-            )
+            # hybrid corpus_on_host composes with the mesh (per-chunk rows
+            # shard over the corpus axes, postings scatter per shard) and
+            # with int8 (1-byte chunks) -- see the host-streamed hybrid
+            # dispatch in _dispatch_exact
         self.n_docs = len(self.doc_keys)
         self.mesh = mesh
         assert mode in ("auto", "exact", "rerank"), mode
@@ -531,40 +527,6 @@ class RetrievalEngine:
             ids, vals, fidx = (np.pad(a, wide) for a in (ids, vals, fidx))
         return ids.astype(np.int32), vals.astype(np.float32), fidx
 
-    def _sparse_postings_combined(
-        self, cleaned: List[str], weights: jax.Array
-    ) -> Optional[Tuple[np.ndarray, jax.Array]]:
-        """All sparse fields' query-term postings concatenated per query,
-        impacts multiplied ON DEVICE by each field's mixer weight:
-        (ids [B, M] host, vals [B, M] device), zero-padded; duplicates
-        scatter-ADD.  Returns None when the combined postings are denser
-        than half the corpus (the dense [B, N] path is then the cheaper
-        transfer)."""
-        b = len(cleaned)
-        fd = len(self.dense_keys)
-        per_field, dense = self._collect_sparse_postings(cleaned)
-        if not per_field:
-            return (
-                np.zeros((b, 128), np.int32),
-                jnp.zeros((b, 128), jnp.float32),
-            )
-        if dense:
-            return None
-        ids = np.concatenate([i for i, _, _ in per_field], axis=1)
-        vals = jnp.concatenate(
-            [
-                jnp.asarray(v) * weights[:, fd + s_i, None].astype(jnp.float32)
-                for _, v, s_i in per_field
-            ],
-            axis=1,
-        )
-        pad = self._bucket_pad(ids.shape[1])
-        if pad:
-            # vals lives on device, so its zero-pad is a (tiny) device op
-            ids = np.pad(ids, ((0, 0), (0, pad)))
-            vals = jnp.pad(vals, ((0, 0), (0, pad)))
-        return ids, vals
-
     def retrieve_exact(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
         """Fused exact full-corpus retrieval.
 
@@ -603,30 +565,67 @@ class RetrievalEngine:
             weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
             qflat = fold_queries(q, weights[:, :fd])
             if self.sparse_keys:
-                # hybrid host stream (single-chip full-precision, see the
-                # constructor assert): postings stay device-resident and
-                # scatter per chunk; the dense-postings fallback streams
-                # the combined host tensor chunk-by-chunk instead
-                from mfar_tpu.ops.scoring import hybrid_topk_host_streamed
-
+                # hybrid host stream: postings scatter per chunk (the dense-
+                # postings fallback streams the combined host tensor
+                # chunk-by-chunk instead).  Composes with the mesh (each
+                # chunk's rows shard over the corpus axes, postings scatter
+                # per shard) and with int8 (1-byte chunks); sparse scores
+                # stay f32 either way.
                 cleaned = [clean_query(t) for t in queries]
                 raw = self._sparse_postings_raw(cleaned)
                 wnp = np.asarray(weights)  # [B, F]: one tiny fetch
+                sparse_kw: Dict[str, Any] = {}
                 if raw is not None:
                     ids, vals, fidx = raw
-                    wvals = vals * np.take_along_axis(wnp, fd + fidx, axis=1)
-                    top_s, top_i = hybrid_topk_host_streamed(
-                        qflat, self.docs_host, k,
+                    wvals = (
+                        vals * np.take_along_axis(wnp, fd + fidx, axis=1)
+                    ).astype(np.float32)
+                    if self.mesh is not None:
+                        # mesh streams re-slice ids per chunk: HOST arrays
+                        sparse_kw = dict(post_ids=ids, post_wvals=wvals)
+                    else:
+                        sparse_kw = dict(
+                            post_ids=jnp.asarray(ids),
+                            post_wvals=jnp.asarray(wvals),
+                        )
+                else:
+                    sparse_kw = dict(
+                        sparse_comb_host=self._sparse_full_scores(cleaned, wnp)
+                    )
+                if self.docs_host_q is not None and self.mesh is not None:
+                    from mfar_tpu.parallel.topk import (
+                        distributed_hybrid_topk_host_streamed_int8,
+                    )
+
+                    top_s, top_i = distributed_hybrid_topk_host_streamed_int8(
+                        self.mesh, qflat, self.docs_host_q,
+                        self.docs_host_scales, k, axis=self._corpus_axes,
+                        **sparse_kw,
+                    )
+                elif self.docs_host_q is not None:
+                    from mfar_tpu.ops.scoring import hybrid_topk_host_streamed_int8
+
+                    top_s, top_i = hybrid_topk_host_streamed_int8(
+                        qflat, self.docs_host_q, self.docs_host_scales, k,
+                        **sparse_kw,
+                    )
+                elif self.mesh is not None:
+                    from mfar_tpu.parallel.topk import (
+                        distributed_hybrid_topk_host_streamed,
+                    )
+
+                    top_s, top_i = distributed_hybrid_topk_host_streamed(
+                        self.mesh, qflat, self.docs_host, k,
                         transfer_dtype=self._host_transfer_dtype,
-                        post_ids=jnp.asarray(ids),
-                        post_wvals=jnp.asarray(wvals.astype(np.float32)),
+                        axis=self._corpus_axes, **sparse_kw,
                     )
                 else:
-                    sparse_comb = self._sparse_full_scores(cleaned, wnp)
+                    from mfar_tpu.ops.scoring import hybrid_topk_host_streamed
+
                     top_s, top_i = hybrid_topk_host_streamed(
                         qflat, self.docs_host, k,
                         transfer_dtype=self._host_transfer_dtype,
-                        sparse_comb_host=sparse_comb,
+                        **sparse_kw,
                     )
                 return ("device", top_s, top_i)
             if self.docs_host_q is not None and self.mesh is not None:
@@ -754,33 +753,70 @@ class RetrievalEngine:
             )
             return ("device", top_s, top_i)
 
-        # Remaining paths: sparse-only corpora and the int8 engines.
+        # Mesh int8 hybrid serving: the same raw-postings fusion over the
+        # quantized corpus.  RAW impacts + per-posting field index ship as
+        # host arrays and each posting picks up its softmax weight
+        # in-program -- multi-host safe (no device-committed premultiplied
+        # tensors, no host-built [B, N] fallback shipping ~1 GB/batch at
+        # N=1M, B=256).
+        if (
+            self.mesh is not None and self.docs_q is not None
+            and self.has_dense and self.sparse_keys
+        ):
+            W = self.mixer_params["weight"]
+            n_fields = len(self.field_info)
+            mask_arr = (
+                jnp.ones(n_fields, jnp.float32) if self.mask is None
+                else jnp.asarray(self.mask, jnp.float32)
+            )
+            qa = self._qaxis(len(queries))
+            cleaned = [clean_query(t) for t in queries]
+            raw = self._sparse_postings_raw(cleaned)
+            if raw is not None:
+                from mfar_tpu.parallel.topk import (
+                    distributed_fused_hybrid_topk_postings_int8,
+                )
+
+                ids, vals, fidx = raw
+                top_s, top_i = distributed_fused_hybrid_topk_postings_int8(
+                    self.mesh, q, W, mask_arr, self.docs_q, self.doc_scales,
+                    ids, vals, fidx, self.n_docs, fd, k,
+                    chunk_size=TOPK_CHUNK, axis=self._corpus_axes,
+                    query_axis=qa,
+                )
+                return ("device", top_s, top_i)
+            # postings denser than the corpus: host-combined fallback (same
+            # rule as the fp paths -- [B, N] is then the cheaper transfer)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mfar_tpu.parallel.topk import distributed_hybrid_topk_int8
+
+            weights = self._field_weights(q)
+            weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+            sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
+            qflat = fold_queries(q, weights[:, :fd])
+            sparse_sharded = jax.device_put(
+                sparse_comb, NamedSharding(self.mesh, P(qa, self._corpus_axes))
+            )
+            top_s, top_i = distributed_hybrid_topk_int8(
+                self.mesh, qflat.astype(jnp.float32), self.docs_q,
+                self.doc_scales, sparse_sharded, self.n_docs, k=k,
+                chunk_size=TOPK_CHUNK, axis=self._corpus_axes, query_axis=qa,
+            )
+            return ("device", top_s, top_i)
+
+        # Remaining paths: sparse-only corpora and the single-chip int8
+        # engines (mesh int8 dense falls through to the sparse_comb=None
+        # branch below).
         weights = self._field_weights(q)
         weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
 
         sparse_comb = None
-        mesh_postings = None
         if self.sparse_keys:
             cleaned = [clean_query(t) for t in queries]
             if self.mesh is None and self.has_dense:
                 # int8 single-chip hybrid: device scatter densification
                 sparse_comb = self._sparse_comb_device(cleaned, weights)
-            elif self.mesh is not None and self.has_dense:
-                # int8 mesh hybrid: ship premultiplied postings, densify per
-                # shard (falls back to a host-built [B, N] when postings are
-                # denser than the corpus).  Multi-host: the premultiplied
-                # impacts are device-committed local tensors that cannot be
-                # re-put onto the global mesh; use the host-combined path.
-                from mfar_tpu.parallel import multihost
-
-                mesh_postings = (
-                    None if multihost.is_multiprocess()
-                    else self._sparse_postings_combined(cleaned, weights)
-                )
-                if mesh_postings is None:
-                    sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
-                else:
-                    sparse_comb = True  # sentinel: hybrid path, data in postings
             else:
                 # sparse-only corpora score fully on host
                 sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
@@ -831,73 +867,16 @@ class RetrievalEngine:
                     jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK,
                 )
         else:
-            if self.docs_q is not None and self.mesh is not None:
-                qa = self._qaxis(qflat.shape[0])
-                if mesh_postings is not None:
-                    from mfar_tpu.parallel.topk import (
-                        distributed_hybrid_topk_postings_int8,
-                    )
+            # Only the single-chip int8 hybrid reaches here: fp hybrid (both
+            # single-chip and mesh) rides the fused-postings branches above,
+            # and mesh int8 hybrid has its own fused branch.
+            from mfar_tpu.ops.scoring import hybrid_topk_chunked_int8
 
-                    ids, vals = mesh_postings
-                    top_s, top_i = distributed_hybrid_topk_postings_int8(
-                        self.mesh, qflat.astype(jnp.float32), self.docs_q,
-                        self.doc_scales, jnp.asarray(ids), jnp.asarray(vals),
-                        self.n_docs, k=k, chunk_size=TOPK_CHUNK,
-                        axis=self._corpus_axes, query_axis=qa,
-                    )
-                else:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    from mfar_tpu.parallel.topk import distributed_hybrid_topk_int8
-
-                    sparse_sharded = jax.device_put(
-                        sparse_comb, NamedSharding(self.mesh, P(qa, self._corpus_axes))
-                    )
-                    top_s, top_i = distributed_hybrid_topk_int8(
-                        self.mesh, qflat.astype(jnp.float32), self.docs_q,
-                        self.doc_scales, sparse_sharded, self.n_docs, k=k,
-                        chunk_size=TOPK_CHUNK, axis=self._corpus_axes,
-                        query_axis=qa,
-                    )
-            elif self.docs_q is not None:
-                from mfar_tpu.ops.scoring import hybrid_topk_chunked_int8
-
-                top_s, top_i = hybrid_topk_chunked_int8(
-                    qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
-                    jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
-                    k=k, chunk_size=TOPK_CHUNK,
-                )
-            elif self.mesh is not None:
-                qa = self._qaxis(qflat.shape[0])
-                if mesh_postings is not None:
-                    from mfar_tpu.parallel.topk import distributed_hybrid_topk_postings
-
-                    ids, vals = mesh_postings
-                    top_s, top_i = distributed_hybrid_topk_postings(
-                        self.mesh, qflat.astype(self.docs_flat.dtype),
-                        self.docs_flat, jnp.asarray(ids), jnp.asarray(vals),
-                        self.n_docs, k=k, chunk_size=TOPK_CHUNK,
-                        axis=self._corpus_axes, query_axis=qa,
-                    )
-                else:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
-
-                    from mfar_tpu.parallel.topk import distributed_hybrid_topk
-
-                    sparse_sharded = jax.device_put(
-                        sparse_comb, NamedSharding(self.mesh, P(qa, self._corpus_axes))
-                    )
-                    top_s, top_i = distributed_hybrid_topk(
-                        self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
-                        sparse_sharded, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
-                        axis=self._corpus_axes, query_axis=qa,
-                    )
-            else:
-                top_s, top_i = hybrid_topk_chunked(
-                    qflat.astype(self.docs_flat.dtype), self.docs_flat,
-                    jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
-                    k=k, chunk_size=TOPK_CHUNK,
-                )
+            top_s, top_i = hybrid_topk_chunked_int8(
+                qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
+                jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
+                k=k, chunk_size=TOPK_CHUNK,
+            )
         return ("device", top_s, top_i)
 
     def retrieve_rerank(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:

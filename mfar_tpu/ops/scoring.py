@@ -258,6 +258,46 @@ def _host_stream_chunk_topk_int8(q8, q_scale, chunk_q, chunk_scales, offset, val
 
 
 @partial(jax.jit, static_argnames=("k",))
+def _host_stream_chunk_topk_int8_hybrid(
+    q8, q_scale, chunk_q, chunk_scales, post_ids, post_wvals, offset, valid_n, k
+):
+    """Hybrid twin of :func:`_host_stream_chunk_topk_int8`: the dequantized
+    chunk scores pick up the postings landing in [offset, offset+c) via the
+    same global-row scatter as :func:`_host_stream_chunk_topk_hybrid` --
+    int8 halves the H2D bytes of the mode that is H2D-bound by
+    construction, and the sparse side stays f32-exact."""
+    b, c = q8.shape[0], chunk_q.shape[0]
+    s = jnp.dot(q8, chunk_q.T, preferred_element_type=jnp.int32).astype(jnp.float32)
+    s = s * q_scale[:, None] * chunk_scales[None, :]
+    rel = post_ids - offset
+    in_range = (rel >= 0) & (rel < c)
+    rel = jnp.where(in_range, rel, 0)
+    vals = jnp.where(in_range, post_wvals, 0.0)
+    s = s.at[jnp.arange(b)[:, None], rel].add(vals)
+    idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    s = jnp.where(idx < valid_n, s, -jnp.inf)
+    top_s, sel = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
+def _host_stream_chunk_topk_int8_sparse_comb(
+    q8, q_scale, chunk_q, chunk_scales, chunk_sparse, offset, valid_n, k
+):
+    """Dense-postings fallback chunk for the int8 hybrid stream: the
+    pre-combined sparse scores stream from the host next to the quantized
+    doc rows."""
+    c = chunk_q.shape[0]
+    s = jnp.dot(q8, chunk_q.T, preferred_element_type=jnp.int32).astype(jnp.float32)
+    s = s * q_scale[:, None] * chunk_scales[None, :]
+    s = s + chunk_sparse.astype(jnp.float32)
+    idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    s = jnp.where(idx < valid_n, s, -jnp.inf)
+    top_s, sel = jax.lax.top_k(s, k)
+    return top_s, jnp.take_along_axis(jnp.broadcast_to(idx, s.shape), sel, axis=1)
+
+
+@partial(jax.jit, static_argnames=("k",))
 def _host_stream_merge(a_s, a_i, b_s, b_i, k):
     return _merge_topk((a_s, a_i), (b_s, b_i), k)
 
@@ -446,6 +486,71 @@ def dense_topk_host_streamed_int8(
     def run_chunk(cq, cs, lo):
         return _host_stream_chunk_topk_int8(
             q8, q_scale, cq, cs, jnp.int32(lo), jnp.int32(n), k_chunk
+        )
+
+    return _host_stream_loop(put_chunk, run_chunk, n_chunks, kk, k)
+
+
+def hybrid_topk_host_streamed_int8(
+    qflat: jax.Array,  # [B, Fd*E] folded queries (device, float)
+    docs_q_host,  # np.ndarray/memmap [N, Fd*E] int8 (quantize_rows_int8_np)
+    scales_host,  # np.ndarray [N] f32 per-row scales
+    k: int,
+    chunk_size: int = 262144,
+    post_ids=None,  # [B, M] i32 GLOBAL corpus rows (0-padded) -- device
+    post_wvals=None,  # [B, M] f32 weight-premultiplied impacts -- device
+    sparse_comb_host=None,  # [B, N] pre-combined host tensor (fallback when
+    #                         postings are denser than the corpus)
+) -> Tuple[jax.Array, jax.Array]:
+    """Hybrid x int8 host stream: exact dense+BM25 retrieval over a corpus
+    bounded by host disk/RAM, with 1-byte dense chunks -- the capacity
+    composition a beyond-HBM hybrid deployment wants (the reference's own
+    stage-2 is a host memmap gather, reference mfar/data/index.py:181-232).
+    The query terms' postings stay device-resident and scatter per chunk;
+    sparse scores stay f32, so the only deviation from f32 retrieval is the
+    dense side's symmetric quantization error (~0.5%)."""
+    import numpy as np  # host-side slicing/padding only
+
+    assert (post_ids is None) != (sparse_comb_host is None), (
+        "exactly one sparse representation: postings or a combined tensor"
+    )
+    n, fe = docs_q_host.shape
+    assert n > 0 and k >= 1 and scales_host.shape == (n,)
+    kk = min(k, n)
+    k_chunk = min(kk, chunk_size)
+    n_chunks = -(-n // chunk_size)
+
+    q8, q_scale = quantize_rows_int8(qflat.astype(jnp.float32))
+
+    def put_chunk(i):
+        lo = i * chunk_size
+        hi = min(n, lo + chunk_size)
+        cq = docs_q_host[lo:hi]  # memmap slices pass through uncopied
+        cs = np.asarray(scales_host[lo:hi], np.float32)
+        sp = None
+        if sparse_comb_host is not None:
+            sp = np.asarray(sparse_comb_host[:, lo:hi], np.float32)
+        if hi - lo < chunk_size and n_chunks > 1:
+            pad = chunk_size - (hi - lo)
+            cq = np.pad(np.asarray(cq), ((0, pad), (0, 0)))
+            cs = np.pad(cs, (0, pad))
+            if sp is not None:
+                sp = np.pad(sp, ((0, 0), (0, pad)))
+        return (
+            jax.device_put(cq),
+            jax.device_put(cs),
+            None if sp is None else jax.device_put(sp),
+            lo,
+        )
+
+    def run_chunk(cq, cs, sp, lo):
+        if sp is not None:
+            return _host_stream_chunk_topk_int8_sparse_comb(
+                q8, q_scale, cq, cs, sp, jnp.int32(lo), jnp.int32(n), k_chunk
+            )
+        return _host_stream_chunk_topk_int8_hybrid(
+            q8, q_scale, cq, cs, post_ids, post_wvals,
+            jnp.int32(lo), jnp.int32(n), k_chunk,
         )
 
     return _host_stream_loop(put_chunk, run_chunk, n_chunks, kk, k)

@@ -917,3 +917,247 @@ def distributed_dense_topk_host_streamed_int8(
         )
 
     return _mesh_host_stream_loop(mesh, put_chunk, run_chunk, n_chunks, kk, k)
+
+
+def _hybrid_stream_postings_feed(post_ids, post_wvals, sparse_comb_host):
+    """Validate + normalize the sparse feed for the mesh hybrid streams:
+    postings arrive as HOST arrays (they are re-sliced per chunk with
+    chunk-local offsets, and host arrays are the multi-host-safe form --
+    a device-committed local tensor cannot be re-put onto a global mesh)."""
+    assert (post_ids is None) != (sparse_comb_host is None), (
+        "exactly one sparse representation: postings or a combined tensor"
+    )
+    if post_ids is not None:
+        post_ids = np.asarray(post_ids, np.int32)
+        post_wvals = np.asarray(post_wvals, np.float32)
+    return post_ids, post_wvals
+
+
+def distributed_hybrid_topk_host_streamed(
+    mesh,
+    qflat: jax.Array,  # [B, Fd*E] folded queries
+    docs_host,  # np.ndarray/memmap [N, Fd*E] -- HOST-resident corpus
+    k: int,
+    chunk_size: int = 262144,
+    transfer_dtype=None,
+    post_ids=None,  # [B, M] i32 GLOBAL corpus rows (0-padded) -- HOST array
+    post_wvals=None,  # [B, M] f32 weight-premultiplied impacts -- HOST array
+    sparse_comb_host=None,  # [B, N] pre-combined host tensor (fallback)
+    axis: AxisSpec = DATA_AXIS,
+) -> Tuple[jax.Array, jax.Array]:
+    """Hybrid x mesh host stream: the capacity escape hatch (corpus bounded
+    by host disk/RAM) composed with the distributed postings scatter -- each
+    streamed chunk's rows shard over the corpus axes and the postings
+    landing in the chunk's global row range scatter per shard
+    (:func:`distributed_hybrid_topk_postings` on chunk-local ids), so a
+    beyond-HBM hybrid corpus serves at mesh-aggregate H2D bandwidth.
+    Matches the reference's hybrid configs at beyond-HBM corpus sizes
+    (reference mfar/modeling/util.py:73-108 + mfar/data/index.py:181-222)."""
+    post_ids, post_wvals = _hybrid_stream_postings_feed(
+        post_ids, post_wvals, sparse_comb_host
+    )
+    n, fe = docs_host.shape
+    assert n > 0 and k >= 1
+    n_shards = _axis_size(mesh, axis)
+    chunk_size = max(chunk_size // n_shards, 1) * n_shards
+    kk = min(k, n)
+    n_chunks = -(-n // chunk_size)
+    row_sh = NamedSharding(mesh, P(axis))
+    col_sh = NamedSharding(mesh, P(None, axis))
+
+    if transfer_dtype is not None:
+        qflat = qflat.astype(transfer_dtype)
+    (qflat,) = _replicate(mesh, qflat)
+
+    def put_chunk(i):
+        lo = i * chunk_size
+        hi = min(n, lo + chunk_size)
+        c = docs_host[lo:hi]  # memmap slices: local shard rows only
+        if transfer_dtype is not None:
+            c = np.asarray(c).astype(jnp.dtype(transfer_dtype), copy=False)
+        target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
+        if hi - lo < target:
+            c = np.pad(np.asarray(c), ((0, target - (hi - lo)), (0, 0)))
+        if post_ids is not None:
+            # chunk-local ids: postings outside [lo, hi) go negative /
+            # >= chunk rows and the per-shard scatter drops them
+            sparse = (jax.device_put(post_ids - lo), jax.device_put(post_wvals))
+        else:
+            sp = np.asarray(sparse_comb_host[:, lo:hi], np.float32)
+            if sp.shape[1] < target:
+                sp = np.pad(sp, ((0, 0), (0, target - sp.shape[1])))
+            sparse = (jax.device_put(sp, col_sh),)
+        return (jax.device_put(c, row_sh), *sparse), lo, hi - lo
+
+    k_chunk = min(kk, chunk_size)
+
+    def run_chunk(chunk, valid):
+        if post_ids is not None:
+            c, ids, vals = chunk
+            return distributed_hybrid_topk_postings(
+                mesh, qflat, c, ids, vals, valid_n=valid, k=k_chunk,
+                chunk_size=chunk_size // n_shards, axis=axis,
+            )
+        c, sp = chunk
+        return distributed_hybrid_topk(
+            mesh, qflat, c, sp, valid_n=valid, k=k_chunk,
+            chunk_size=chunk_size // n_shards, axis=axis,
+        )
+
+    return _mesh_host_stream_loop(mesh, put_chunk, run_chunk, n_chunks, kk, k)
+
+
+def distributed_hybrid_topk_host_streamed_int8(
+    mesh,
+    qflat: jax.Array,  # [B, Fd*E] folded queries (float)
+    docs_q_host,  # np.ndarray/memmap [N, Fd*E] int8 (quantize_rows_int8_np)
+    scales_host,  # np.ndarray [N] f32 per-row scales
+    k: int,
+    chunk_size: int = 262144,
+    post_ids=None,  # [B, M] i32 GLOBAL corpus rows -- HOST array
+    post_wvals=None,  # [B, M] f32 weight-premultiplied impacts -- HOST array
+    sparse_comb_host=None,  # [B, N] pre-combined host tensor (fallback)
+    axis: AxisSpec = DATA_AXIS,
+) -> Tuple[jax.Array, jax.Array]:
+    """All three capacity knobs composed: disk-bound corpus (host stream) x
+    1-byte chunks (int8) x mesh-aggregate H2D bandwidth, with the hybrid
+    postings scatter per shard.  Sparse scores stay f32."""
+    post_ids, post_wvals = _hybrid_stream_postings_feed(
+        post_ids, post_wvals, sparse_comb_host
+    )
+    n, fe = docs_q_host.shape
+    assert n > 0 and k >= 1 and scales_host.shape == (n,)
+    n_shards = _axis_size(mesh, axis)
+    chunk_size = max(chunk_size // n_shards, 1) * n_shards
+    kk = min(k, n)
+    n_chunks = -(-n // chunk_size)
+    row_sh = NamedSharding(mesh, P(axis))
+    col_sh = NamedSharding(mesh, P(None, axis))
+
+    (qflat,) = _replicate(mesh, qflat)
+
+    def put_chunk(i):
+        lo = i * chunk_size
+        hi = min(n, lo + chunk_size)
+        cq = docs_q_host[lo:hi]  # memmap slices: local shard rows only
+        cs = np.asarray(scales_host[lo:hi], np.float32)
+        target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
+        if hi - lo < target:
+            pad = target - (hi - lo)
+            cq = np.pad(np.asarray(cq), ((0, pad), (0, 0)))
+            cs = np.pad(cs, (0, pad))
+        if post_ids is not None:
+            sparse = (jax.device_put(post_ids - lo), jax.device_put(post_wvals))
+        else:
+            sp = np.asarray(sparse_comb_host[:, lo:hi], np.float32)
+            if sp.shape[1] < target:
+                sp = np.pad(sp, ((0, 0), (0, target - sp.shape[1])))
+            sparse = (jax.device_put(sp, col_sh),)
+        return (
+            (jax.device_put(cq, row_sh), jax.device_put(cs, row_sh), *sparse),
+            lo,
+            hi - lo,
+        )
+
+    k_chunk = min(kk, chunk_size)
+
+    def run_chunk(chunk, valid):
+        if post_ids is not None:
+            cq, cs, ids, vals = chunk
+            return distributed_hybrid_topk_postings_int8(
+                mesh, qflat, cq, cs, ids, vals, valid_n=valid, k=k_chunk,
+                chunk_size=chunk_size // n_shards, axis=axis,
+            )
+        cq, cs, sp = chunk
+        return distributed_hybrid_topk_int8(
+            mesh, qflat, cq, cs, sp, valid_n=valid, k=k_chunk,
+            chunk_size=chunk_size // n_shards, axis=axis,
+        )
+
+    return _mesh_host_stream_loop(mesh, put_chunk, run_chunk, n_chunks, kk, k)
+
+
+@lru_cache(maxsize=_CACHE_SIZE)
+def _build_fused_hybrid_topk_postings_int8(mesh, n, valid_n, num_dense, k,
+                                           chunk_size, axis, query_axis):
+    from mfar_tpu.ops.scoring import (
+        fold_queries,
+        hybrid_topk_chunked_int8,
+        softmax_field_weights,
+    )
+
+    n_shards, shard_n, local_k, chunk_size = _shard_geometry(
+        mesh, n, k, chunk_size, axis
+    )
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(query_axis), P(), P(), P(axis), P(axis), P(query_axis),
+                  P(query_axis), P(query_axis)),
+        out_specs=(P(query_axis, axis), P(query_axis, axis)),
+    )
+    def _local_topk(q_, W_, mask_, docs, scales, ids, vals, fidx):
+        b = q_.shape[0]
+        weights = softmax_field_weights(W_, q_, mask_)
+        weights = jnp.broadcast_to(weights, (b, weights.shape[-1]))
+        qflat = fold_queries(q_, weights[:, :num_dense]).astype(jnp.float32)
+        w_sparse = jnp.take_along_axis(weights, num_dense + fidx, axis=1)
+        shard_id = jax.lax.axis_index(axis)
+        offset = (shard_id * shard_n).astype(jnp.int32)
+        local_valid = jnp.clip(valid_n - offset, 0, shard_n)
+        local = ids - offset
+        mine = (local >= 0) & (local < shard_n)
+        safe = jnp.where(mine, local, 0)
+        sparse = jnp.zeros((b, shard_n), jnp.float32)
+        sparse = sparse.at[jnp.arange(b)[:, None], safe].add(
+            jnp.where(mine, vals * w_sparse, 0.0)
+        )
+        loc_s, loc_i = hybrid_topk_chunked_int8(
+            qflat, docs, scales, sparse, local_valid, k=local_k,
+            chunk_size=chunk_size,
+        )
+        return loc_s, loc_i + offset
+
+    merge = _make_merge(mesh, k, kk=min(k, n_shards * local_k))
+
+    def run(q, W, mask, docs_q, doc_scales, post_ids, post_vals, post_field):
+        q, W, mask, post_ids, post_vals, post_field = _replicate(
+            mesh, q, W, mask, post_ids, post_vals, post_field
+        )
+        return merge(
+            *_local_topk(q, W, mask, docs_q, doc_scales, post_ids, post_vals,
+                         post_field)
+        )
+
+    return run
+
+
+def distributed_fused_hybrid_topk_postings_int8(
+    mesh,
+    q: jax.Array,  # [B, E] query embeddings
+    W: jax.Array,  # mixer weight (all F fields, dense first)
+    mask: jax.Array,  # [F] ablation mask (ones when unmasked; traced arg)
+    docs_q: jax.Array,  # [N, Fd*E] int8 corpus, sharded P(axis)
+    doc_scales: jax.Array,  # [N] f32 scales, sharded P(axis)
+    post_ids: jax.Array,  # [B, M] i32 global doc ids (0-padded)
+    post_vals: jax.Array,  # [B, M] f32 RAW impacts (0-padded)
+    post_field: jax.Array,  # [B, M] i32 sparse-field index per posting
+    valid_n: int,
+    num_dense: int,
+    k: int,
+    chunk_size: int = 131072,
+    axis: AxisSpec = DATA_AXIS,
+    query_axis: Optional[str] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 twin of :func:`distributed_fused_hybrid_topk_postings`: RAW
+    impacts ship from the host (multi-host safe), each posting picks up its
+    field's softmax weight in-program, and each shard fuses the scatter with
+    its quantized dense scan -- so the int8 capacity knob (2x docs per mesh)
+    composes with hybrid retrieval under multiprocess without a host-built
+    [B, N] tensor."""
+    run = _build_fused_hybrid_topk_postings_int8(
+        mesh, docs_q.shape[0], int(valid_n), int(num_dense), k,
+        chunk_size, axis, query_axis,
+    )
+    return run(q, W, mask, docs_q, doc_scales, post_ids, post_vals, post_field)

@@ -188,6 +188,138 @@ def test_hybrid_streamed_matches_resident(n, chunk):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("n,chunk", [(1000, 256), (300, 512)])
+def test_hybrid_streamed_int8_matches_resident_int8(n, chunk):
+    """Hybrid x int8 host stream (both sparse representations) matches the
+    resident hybrid_topk_chunked_int8 exactly -- same quantized corpus, so
+    the stream introduces no additional error."""
+    from mfar_tpu.ops.scoring import (
+        hybrid_topk_chunked_int8,
+        hybrid_topk_host_streamed_int8,
+        quantize_rows_int8_np,
+    )
+
+    rng = np.random.default_rng(8)
+    b, k, m = 4, 30, 64
+    docs = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(b, 64)).astype(np.float32)
+    dq, ds = quantize_rows_int8_np(docs)
+    ids = rng.integers(0, n, size=(b, m)).astype(np.int32)
+    wvals = np.abs(rng.normal(size=(b, m))).astype(np.float32) * 3
+    comb = np.zeros((b, n), np.float32)
+    np.add.at(comb, (np.arange(b)[:, None], ids), wvals)
+
+    want_s, want_i = hybrid_topk_chunked_int8(
+        jnp.asarray(q), jnp.asarray(dq), jnp.asarray(ds), jnp.asarray(comb),
+        jnp.int32(n), k=k, chunk_size=chunk,
+    )
+    got_s, got_i = hybrid_topk_host_streamed_int8(
+        jnp.asarray(q), dq, ds, k, chunk_size=chunk,
+        post_ids=jnp.asarray(ids), post_wvals=jnp.asarray(wvals),
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+    got_s2, got_i2 = hybrid_topk_host_streamed_int8(
+        jnp.asarray(q), dq, ds, k, chunk_size=chunk, sparse_comb_host=comb
+    )
+    np.testing.assert_array_equal(np.asarray(got_i2), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s2), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,chunk", [(1000, 256), (300, 512)])
+def test_distributed_hybrid_streamed_matches_single_chip(n, chunk):
+    """Hybrid x mesh host stream (per-chunk rows sharded, postings scatter
+    per shard) reproduces the single-chip hybrid stream for both sparse
+    representations."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mfar_tpu.ops.scoring import hybrid_topk_host_streamed
+    from mfar_tpu.parallel.topk import distributed_hybrid_topk_host_streamed
+
+    rng = np.random.default_rng(9)
+    b, k, m = 4, 30, 64
+    docs = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(b, 64)).astype(np.float32)
+    ids = rng.integers(0, n, size=(b, m)).astype(np.int32)
+    wvals = np.abs(rng.normal(size=(b, m))).astype(np.float32) * 3
+    comb = np.zeros((b, n), np.float32)
+    np.add.at(comb, (np.arange(b)[:, None], ids), wvals)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8, 1),
+                axis_names=("replica", "data", "model"))
+
+    want_s, want_i = hybrid_topk_host_streamed(
+        jnp.asarray(q), docs, k, chunk_size=chunk,
+        post_ids=jnp.asarray(ids), post_wvals=jnp.asarray(wvals),
+    )
+    got_s, got_i = distributed_hybrid_topk_host_streamed(
+        mesh, jnp.asarray(q), docs, k, chunk_size=chunk,
+        post_ids=ids, post_wvals=wvals, axis="data",
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+    got_s2, got_i2 = distributed_hybrid_topk_host_streamed(
+        mesh, jnp.asarray(q), docs, k, chunk_size=chunk,
+        sparse_comb_host=comb, axis="data",
+    )
+    np.testing.assert_array_equal(np.asarray(got_i2), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s2), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,chunk", [(1000, 256), (300, 512)])
+def test_distributed_hybrid_streamed_int8_matches_single_chip(n, chunk):
+    """All three capacity knobs composed (host stream x int8 x mesh) match
+    the single-chip int8 hybrid stream."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mfar_tpu.ops.scoring import (
+        hybrid_topk_host_streamed_int8,
+        quantize_rows_int8_np,
+    )
+    from mfar_tpu.parallel.topk import (
+        distributed_hybrid_topk_host_streamed_int8,
+    )
+
+    rng = np.random.default_rng(10)
+    b, k, m = 4, 30, 64
+    docs = rng.normal(size=(n, 64)).astype(np.float32)
+    q = rng.normal(size=(b, 64)).astype(np.float32)
+    dq, ds = quantize_rows_int8_np(docs)
+    ids = rng.integers(0, n, size=(b, m)).astype(np.int32)
+    wvals = np.abs(rng.normal(size=(b, m))).astype(np.float32) * 3
+    comb = np.zeros((b, n), np.float32)
+    np.add.at(comb, (np.arange(b)[:, None], ids), wvals)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(1, 8, 1),
+                axis_names=("replica", "data", "model"))
+
+    want_s, want_i = hybrid_topk_host_streamed_int8(
+        jnp.asarray(q), dq, ds, k, chunk_size=chunk,
+        post_ids=jnp.asarray(ids), post_wvals=jnp.asarray(wvals),
+    )
+    got_s, got_i = distributed_hybrid_topk_host_streamed_int8(
+        mesh, jnp.asarray(q), dq, ds, k, chunk_size=chunk,
+        post_ids=ids, post_wvals=wvals, axis="data",
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+    got_s2, got_i2 = distributed_hybrid_topk_host_streamed_int8(
+        mesh, jnp.asarray(q), dq, ds, k, chunk_size=chunk,
+        sparse_comb_host=comb, axis="data",
+    )
+    np.testing.assert_array_equal(np.asarray(got_i2), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(got_s2), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_retrieve_cli_hybrid_corpus_on_host(tmp_path):
     """Hybrid (dense+BM25) retrieval through the CLI with a host corpus
     matches the resident engine ranking exactly (f32)."""

@@ -502,6 +502,69 @@ def test_mesh_engine_dense_only(world):
         assert [k for k, _ in h1] == [k for k, _ in hm]
 
 
+def test_mesh_engine_hybrid_int8(world):
+    """int8 x mesh x hybrid: the fused raw-postings program (multi-host
+    safe, no host-built [B, N] fallback) reproduces the single-chip int8
+    hybrid engine -- same quantized corpus, so rankings and scores match."""
+    w = world
+    mesh = make_mesh()
+    single = make_engine(w, quantize="int8")
+    sharded = make_engine(w, quantize="int8", mesh=mesh)
+    queries = list(w["queries"].values())[:5]
+    res_1 = single.retrieve(queries, top_k=6, mode="exact")
+    res_m = sharded.retrieve(queries, top_k=6, mode="exact")
+    for h1, hm in zip(res_1, res_m):
+        assert [k for k, _ in h1] == [k for k, _ in hm]
+        np.testing.assert_allclose(
+            [s for _, s in h1], [s for _, s in hm], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_mesh_engine_hybrid_int8_routes_postings(world, monkeypatch):
+    """The int8 mesh hybrid engine routes through the fused raw-postings
+    program (not the [B, N] host-combined fallback) when postings are
+    sparse."""
+    import mfar_tpu.parallel.topk as T
+
+    w = world
+    calls = []
+    orig = T.distributed_fused_hybrid_topk_postings_int8
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(T, "distributed_fused_hybrid_topk_postings_int8", spy)
+    eng = make_engine(w, quantize="int8", mesh=make_mesh())
+    eng.retrieve(list(w["queries"].values())[:3], top_k=5, mode="exact")
+    assert calls, "int8 mesh hybrid did not use the fused postings program"
+
+
+@pytest.mark.parametrize(
+    "mesh_on,int8", [(True, False), (False, True), (True, True)]
+)
+def test_hybrid_corpus_on_host_compositions(world, mesh_on, int8):
+    """Hybrid host-streamed serving composed with the mesh and/or int8
+    reproduces the equivalent HBM-resident engine's ranking (VERDICT r3
+    item 2: a capacity-bound hybrid deployment wants exactly these
+    compositions)."""
+    w = world
+    kw = dict(quantize="int8") if int8 else {}
+    resident = make_engine(w, **kw)
+    streamed = make_engine(
+        w, corpus_on_host=True, mesh=make_mesh() if mesh_on else None, **kw
+    )
+    assert streamed.docs_flat is None and streamed.docs_q is None
+    queries = list(w["queries"].values())[:5]
+    want = resident.retrieve(queries, top_k=6, mode="exact")
+    got = streamed.retrieve(queries, top_k=6, mode="exact")
+    for hw, hg in zip(want, got):
+        assert [k for k, _ in hw] == [k for k, _ in hg]
+        np.testing.assert_allclose(
+            [s for _, s in hw], [s for _, s in hg], rtol=1e-4, atol=1e-4
+        )
+
+
 def test_dense_topk_approx_option(world):
     """--dense-topk approx: PartialReduce selection through the fused
     serving program; on CPU the selection is exact, so rankings must match
