@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-query-cond", dest="query_cond", action="store_false")
     p.add_argument("--prefix", action="store_true")
     p.add_argument("--retrieval-mode", default="auto", choices=["auto", "exact", "rerank"])
+    p.add_argument("--corpus-on-host", action="store_true",
+                   help="keep the eval corpus in host RAM and stream chunks "
+                        "per scan: ablation sweeps over corpora that exceed "
+                        "HBM (both modes, hybrid-capable, mesh-composed)")
     p.add_argument("--mesh", default="auto", choices=["auto", "off"],
                    help="auto: shard eval over all visible chips; off: single chip")
     p.add_argument("--multihost", default="auto", choices=["auto", "off", "force", "pod"],
@@ -133,6 +137,7 @@ def main(argv=None) -> None:
         out_dir=args.out, dev_batch_size=args.dev_batch_size,
         recall_k=args.recall_k, prefix=args.prefix,
         retrieval_mode=args.retrieval_mode,
+        corpus_on_host=args.corpus_on_host,
         query_max_length=args.dev_max_length,
         seed=args.seed % (2**31),
     )

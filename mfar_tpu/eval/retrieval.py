@@ -104,12 +104,14 @@ class RetrievalEngine:
         #   (double-buffered; the reference's memmap-scan posture,
         #   reference mfar/data/index.py:181-222).  Corpus size is bounded
         #   by the host, not HBM -- at H2D-bandwidth-bound throughput.
-        #   Exact mode; hybrid-capable single-chip (postings scatter per
-        #   chunk).  Dense serving composes with the mesh (each chunk's
-        #   rows shard over the corpus axes, so aggregate H2D bandwidth
-        #   scales with chip count) and with int8 (1-byte chunks),
-        #   including both together; prefer HBM-resident serving when the
-        #   corpus fits.
+        #   Serves BOTH modes (exact and rerank-compat: stage-1 recall
+        #   streams one-hot folded queries, stage-2 gathers candidate rows
+        #   from the host like the reference's memmap gather) and is
+        #   hybrid-capable (postings scatter per chunk).  Composes with
+        #   the mesh (each chunk's rows shard over the corpus axes, so
+        #   aggregate H2D bandwidth scales with chip count) and with int8
+        #   (1-byte chunks), including all together; prefer HBM-resident
+        #   serving when the corpus fits.
     ):
         self.field_info = field_info
         self.doc_keys = list(doc_keys)
@@ -907,7 +909,52 @@ class RetrievalEngine:
         if self.dense_keys and self.has_dense:
             fd = len(self.dense_keys)
             k = min(self.recall_k, self.n_docs)
-            if self.docs_q is not None and self.mesh is not None:
+            if self.docs_host is not None or self.docs_host_q is not None:
+                # Host-streamed corpus: per-field recall via ONE-HOT folded
+                # queries ([B*Fd, Fd*E]) through the existing dense host
+                # streams -- Fd x the matmul FLOPs of a folded scan, but the
+                # stream is H2D-bandwidth-bound by construction, so the
+                # extra MXU work hides under the chunk transfers.  Composes
+                # with the mesh and int8 for free.
+                eye = jnp.eye(fd, dtype=q.dtype)
+                onehot_q = jnp.einsum("fg,be->bfge", eye, q).reshape(
+                    b * fd, fd * self.emb_dim
+                )
+                if self.docs_host_q is not None and self.mesh is not None:
+                    from mfar_tpu.parallel.topk import (
+                        distributed_dense_topk_host_streamed_int8,
+                    )
+
+                    s, idx = distributed_dense_topk_host_streamed_int8(
+                        self.mesh, onehot_q.astype(jnp.float32),
+                        self.docs_host_q, self.docs_host_scales, k,
+                        axis=self._corpus_axes,
+                    )
+                elif self.docs_host_q is not None:
+                    from mfar_tpu.ops.scoring import dense_topk_host_streamed_int8
+
+                    s, idx = dense_topk_host_streamed_int8(
+                        onehot_q.astype(jnp.float32), self.docs_host_q,
+                        self.docs_host_scales, k,
+                    )
+                elif self.mesh is not None:
+                    from mfar_tpu.parallel.topk import (
+                        distributed_dense_topk_host_streamed,
+                    )
+
+                    s, idx = distributed_dense_topk_host_streamed(
+                        self.mesh, onehot_q, self.docs_host, k,
+                        transfer_dtype=self._host_transfer_dtype,
+                        axis=self._corpus_axes,
+                    )
+                else:
+                    from mfar_tpu.ops.scoring import dense_topk_host_streamed
+
+                    s, idx = dense_topk_host_streamed(
+                        onehot_q, self.docs_host, k,
+                        transfer_dtype=self._host_transfer_dtype,
+                    )
+            elif self.docs_q is not None and self.mesh is not None:
                 # mesh + int8: one-hot folded queries through the sharded
                 # int8 kernel (PartialReduce recall per shard)
                 from mfar_tpu.parallel.topk import distributed_dense_topk_int8
@@ -999,7 +1046,30 @@ class RetrievalEngine:
         if self.dense_keys and self.has_dense:
             fd = len(self.dense_keys)
             cand_j = self._to_dev(cand)
-            if self.mesh is not None and self.docs_q is not None:
+            if self.docs_host is not None or self.docs_host_q is not None:
+                # Host corpus: gather the batch's GLOBAL-unique candidate
+                # rows from host RAM/memmap (the reference's own stage-2
+                # posture, reference mfar/data/index.py:227-232) into one
+                # [U, Fd*E] slab, ship it once, and index per candidate on
+                # device.  U <= B*C deduped, so the transfer is bounded by
+                # the candidate union, not the corpus.
+                uniq_g = np.unique(cand)
+                pos = np.searchsorted(uniq_g, cand).astype(np.int32)
+                if self.docs_host_q is not None:
+                    slab = (
+                        np.asarray(self.docs_host_q[uniq_g], np.float32)
+                        * np.asarray(
+                            self.docs_host_scales[uniq_g], np.float32
+                        )[:, None]
+                    )
+                else:
+                    slab = np.asarray(self.docs_host[uniq_g], np.float32)
+                rows = jnp.take(self._to_dev(slab), self._to_dev(pos), axis=0)
+                cand_docs = rows.reshape(b, width, fd, self.emb_dim)
+                dense_scores = per_field_candidate_scores(
+                    q.astype(jnp.float32), cand_docs
+                )
+            elif self.mesh is not None and self.docs_q is not None:
                 from mfar_tpu.parallel.topk import distributed_candidate_scores_int8
 
                 dense_scores = distributed_candidate_scores_int8(
@@ -1147,13 +1217,6 @@ class RetrievalEngine:
             # hybrid retrieval with top-100 unions + rerank, which remains
             # available as the explicit compat mode)
             mode = "exact"
-        if mode == "rerank" and (
-            self.docs_host is not None or self.docs_host_q is not None
-        ):
-            raise ValueError(
-                "corpus_on_host serves exact mode only (stage-2 rerank "
-                "gathers need a device-resident corpus)"
-            )
         return mode
 
     # ------------------------------------------------------------------

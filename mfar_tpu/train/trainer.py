@@ -77,6 +77,9 @@ class TrainerConfig:
     monitor: str = "valid_loss"
     prefix: bool = False
     retrieval_mode: str = "auto"  # auto|exact|rerank (engine serving mode)
+    corpus_on_host: bool = False  # eval engine keeps the dense corpus in
+    #   host RAM and streams chunks per scan (capacity beyond HBM; both
+    #   modes, hybrid-capable, composes with the mesh)
     prefetch_depth: int = 2  # host batches prepared ahead of the device
 
 
@@ -271,6 +274,7 @@ class Trainer:
             mask=self.mask,
             mesh=self.mesh,
             mode=self.cfg.retrieval_mode,
+            corpus_on_host=self.cfg.corpus_on_host,
         )
 
     # ------------------------------------------------------------------

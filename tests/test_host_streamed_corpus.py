@@ -347,6 +347,53 @@ def test_retrieve_cli_hybrid_corpus_on_host(tmp_path):
     assert rows(out_host) == rows(out_res) and rows(out_host)
 
 
+def test_mask_fields_sweep_corpus_on_host(tmp_path):
+    """The full mask_fields ablation sweep runs against a host-streamed
+    corpus (the beyond-HBM posture) and reproduces the resident sweep's
+    metrics line-for-line (VERDICT r3 item 5)."""
+    import json
+    import os
+
+    from mfar_tpu.commands import (
+        create_sparse_index,
+        make_synth_data,
+        mask_fields as mask_cmd,
+        train as train_cmd,
+    )
+
+    ds, idx, run = (str(tmp_path / k) for k in ("ds", "idx", "run"))
+    make_synth_data.main(["--out", ds, "--n-docs", "30", "--n-train", "6", "--n-val", "3"])
+    create_sparse_index.main(["--data-path", ds, "--dataset-name", "amazon",
+                              "--output-path", idx,
+                              "--fields-str", "title_sparse,single_sparse"])
+    train_cmd.main([
+        "--dataset-name", "amazon", "--data", ds, "--out", run,
+        "--lexical-index", idx, "--field-names", "title_dense,title_sparse",
+        "--model-name", "synthetic", "--weights-lr", "0.1",
+        "--train-batch-size", "4", "--max-epochs", "1", "--run-one-iteration",
+        "--recall-k", "10", "--dev-batch-size", "8",
+    ])
+    base = ["--dataset-name", "amazon", "--data", ds,
+            "--lexical-index", idx, "--checkpoint-dir", run,
+            "--field-names", "title_dense,title_sparse",
+            "--model-name", "synthetic", "--recall-k", "10",
+            "--dev-batch-size", "8", "--mesh", "off"]
+
+    def sweep(out, extra):
+        mask_cmd.main(base + ["--out", out] + extra)
+        lines = [json.loads(l) for l in open(os.path.join(out, "results_dicts.jsonl"))]
+        return [
+            {k: round(v, 4) if isinstance(v, float) else v
+             for k, v in l.items() if k != "wall_s"}
+            for l in lines
+        ]
+
+    resident = sweep(str(tmp_path / "resident"), [])
+    host = sweep(str(tmp_path / "host"), ["--corpus-on-host"])
+    assert len(resident) > 1  # full sweep, not just the baseline
+    assert host == resident
+
+
 def test_npy_index_roundtrip_and_streamed_build(tmp_path):
     """encode_corpus --out .npy: the build streams into a disk memmap
     (identical to the in-RAM build), load_dense_matrix memory-maps it, and
@@ -441,7 +488,8 @@ def test_microbatcher_serves_host_streamed_engine():
 def test_retrieve_cli_corpus_on_host(tmp_path):
     """The serving CLI with --corpus-on-host writes the same ranking as the
     default HBM-resident engine (f32, mesh off for a like-for-like single
-    program), and rejects rerank mode."""
+    program), in BOTH modes (exact and the rerank compat mode, whose
+    stage-2 gathers candidate rows from the host corpus)."""
     from mfar_tpu.commands import make_synth_data, retrieve as retrieve_cmd
     from mfar_tpu.data import trec
 
@@ -461,9 +509,13 @@ def test_retrieve_cli_corpus_on_host(tmp_path):
     rows = lambda p: [(r.query_id, r.doc_id, r.rank) for r in trec.QRes.from_file(p)]
     assert rows(out_host) == rows(out_res) and rows(out_host)
 
-    with pytest.raises(ValueError, match="exact mode only"):
-        retrieve_cmd.main(base + ["--out", str(tmp_path / "x.qres"),
-                                  "--corpus-on-host", "--mode", "rerank"])
+    out_rr = str(tmp_path / "resident_rerank.qres")
+    retrieve_cmd.main(base + ["--out", out_rr, "--mesh", "off",
+                              "--mode", "rerank"])
+    out_hr = str(tmp_path / "host_rerank.qres")
+    retrieve_cmd.main(base + ["--out", out_hr, "--corpus-on-host",
+                              "--mode", "rerank"])
+    assert rows(out_hr) == rows(out_rr) and rows(out_hr)
 
     # int8 composes with the host stream: same candidate set up to the
     # ~0.5% quantization score error (near-ties may cross the k boundary)
