@@ -1,7 +1,7 @@
 """Engine end-to-end serving benchmark prototype.
 
 python benchmarks/exp_engine.py \
-    [dense|hybrid|dense-host|dense-host-int8|hybrid-host] [N] [B]
+    [dense|dense-int8|dense-approx|hybrid|dense-host|dense-host-int8|hybrid-host] [N] [B]
 
 Measures RetrievalEngine.retrieve (tokenize + encode + fold + fused top-k +
 id mapping) with a contriever-base-shape random-init encoder over a
@@ -29,7 +29,8 @@ def main():
     world = make_world(
         N, hybrid=mode.startswith("hybrid"),
         corpus_on_host="-host" in mode,
-        quantize="int8" if mode == "dense-host-int8" else None,
+        quantize="int8" if mode.endswith("-int8") else None,
+        dense_topk="approx" if mode.endswith("-approx") else "exact",
     )
     engine, tok = world["engine"], world["tok"]
     sparse_indices = world["sparse_indices"]

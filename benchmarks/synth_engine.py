@@ -13,7 +13,8 @@ import numpy as np
 
 
 def make_world(N: int, hybrid: bool = False, seed: int = 0,
-               corpus_on_host: bool = False, quantize=None):
+               corpus_on_host: bool = False, quantize=None,
+               dense_topk: str = "exact"):
     """Returns dict(engine, warr, tok, rng) -- ready to serve."""
     import jax
     import jax.numpy as jnp
@@ -45,7 +46,6 @@ def make_world(N: int, hybrid: bool = False, seed: int = 0,
             ).astype(ml_dtypes.bfloat16)
         print(f"corpus matrix (host bf16): {time.perf_counter()-t0:.1f}s", flush=True)
     else:
-        assert quantize is None, "quantize is plumbed for the host mode here"
         matrix = jax.random.normal(jax.random.PRNGKey(0), (N, FD * E), jnp.bfloat16)
         matrix.block_until_ready()
         print(f"corpus matrix (device): {time.perf_counter()-t0:.1f}s", flush=True)
@@ -84,7 +84,8 @@ def make_world(N: int, hybrid: bool = False, seed: int = 0,
         recall_k=100,
         mode="exact",
         corpus_on_host=corpus_on_host,
-        quantize=quantize if corpus_on_host else None,
+        quantize=quantize,
+        dense_topk=dense_topk,
     )
     print(f"engine build: {time.perf_counter()-t0:.1f}s", flush=True)
     return dict(engine=engine, warr=warr, tok=tok, rng=rng,

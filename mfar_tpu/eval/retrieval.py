@@ -28,6 +28,7 @@ the reference does (mfar/modeling/contrastive.py:686,706-714).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -59,10 +60,30 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-# Corpus chunk for the streaming top-k scans (the ops stream a ragged tail
-# chunk, so no chunk-multiple corpus padding exists; mesh serving pads only
-# to the shard count and masks via valid_n).
+# Corpus chunk FLOOR for the streaming top-k scans (the ops stream a ragged
+# tail chunk, so no chunk-multiple corpus padding exists; mesh serving pads
+# only to the shard count and masks via valid_n).  The actual chunk per
+# dispatch comes from :func:`topk_chunk` below.
 TOPK_CHUNK = 131072
+
+# f32 score-tile HBM budget for one streamed chunk ([B, chunk] f32).  Bigger
+# chunks amortize the per-chunk selection + carry merge -- round-4 TPU
+# measurement (benchmarks/exp_exact_topk.py, N=1M B=256 FE=3840): the exact
+# path runs 91.8 ms/batch at 131072-row chunks vs 27.5 ms as one 1M-row
+# chunk, and even the selection-free matmul floor improves 37 -> 16 ms.
+TOPK_SCORE_TILE_BYTES = int(os.environ.get("MFAR_TOPK_TILE_BYTES", 1 << 30))
+
+
+def topk_chunk(n_rows: int, batch: int) -> int:
+    """Corpus rows per streamed top-k chunk for a ``batch``-query dispatch:
+    as large as the f32 score-tile budget allows (fewer selection + merge
+    rounds), never below the TOPK_CHUNK floor.  Mesh serving passes the
+    same value; each shard scans at most its own rows, so oversized chunks
+    degrade to one-shot per shard."""
+    cap = TOPK_SCORE_TILE_BYTES // (4 * max(batch, 1))
+    if cap >= n_rows:
+        return max(n_rows, 1)
+    return max(TOPK_CHUNK, cap - cap % TOPK_CHUNK)
 
 
 class RetrievalEngine:
@@ -116,6 +137,7 @@ class RetrievalEngine:
         self.field_info = field_info
         self.doc_keys = list(doc_keys)
         self._doc_keys_arr = None  # lazy np object array (see _to_keyed)
+        self.last_serve_path = None  # set by _note_path on every dispatch
         self.encode_fn = encode_fn
         self.tokenizer = tokenizer
         self.mixer_params = mixer_params
@@ -545,6 +567,17 @@ class RetrievalEngine:
         _, top_s, top_i = dispatched
         return self._to_keyed(*jax.device_get((top_s, top_i)))  # one fetch round-trip
 
+    def _note_path(self, name: str) -> None:
+        """Record which serving program this dispatch chose:
+        ``engine.last_serve_path`` always, plus a ``[serve-path] <name>``
+        stdout line when MFAR_DEBUG_SERVE_PATH is set -- multi-process
+        tests read worker stdout to assert the routing (e.g. that the int8
+        mesh hybrid rides the fused raw-postings program, not the
+        host-combined [B, N] fallback)."""
+        self.last_serve_path = name
+        if os.environ.get("MFAR_DEBUG_SERVE_PATH"):
+            print(f"[serve-path] {name}", flush=True)
+
     def _dispatch_exact(self, queries: Sequence[str], top_k: int):
         """Dispatch phase of exact retrieval: all host prep + async device
         work, NO result fetch.  Returns ('device', top_s, top_i) device
@@ -554,6 +587,7 @@ class RetrievalEngine:
         k = min(top_k, self.n_docs)
         q = self.encode_queries(queries)
         fd = len(self.dense_keys)
+        chunk = topk_chunk(self.n_docs, len(queries))
 
         # Host-streamed corpus (capacity escape hatch): fold on device, then
         # stream the host corpus through the chunked scan double-buffered.
@@ -629,6 +663,12 @@ class RetrievalEngine:
                         transfer_dtype=self._host_transfer_dtype,
                         **sparse_kw,
                     )
+                self._note_path(
+                    "host-stream-hybrid"
+                    + ("-int8" if self.docs_host_q is not None else "")
+                    + ("-mesh" if self.mesh is not None else "")
+                    + ("-postings" if raw is not None else "-combined")
+                )
                 return ("device", top_s, top_i)
             if self.docs_host_q is not None and self.mesh is not None:
                 from mfar_tpu.parallel.topk import (
@@ -661,6 +701,11 @@ class RetrievalEngine:
                     qflat, self.docs_host, k,
                     transfer_dtype=self._host_transfer_dtype,
                 )
+            self._note_path(
+                "host-stream-dense"
+                + ("-int8" if self.docs_host_q is not None else "")
+                + ("-mesh" if self.mesh is not None else "")
+            )
             return ("device", top_s, top_i)
 
         # Single-chip full-precision serving: ONE jitted program from query
@@ -679,8 +724,9 @@ class RetrievalEngine:
                     top_s, top_i = fused_hybrid_topk_postings_from_query(
                         q, W, mask_arr, self.docs_flat,
                         jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(fidx),
-                        jnp.int32(self.n_docs), fd, k, chunk_size=TOPK_CHUNK,
+                        jnp.int32(self.n_docs), fd, k, chunk_size=chunk,
                     )
+                    self._note_path("singlechip-hybrid-postings")
                     return ("device", top_s, top_i)
                 # postings denser than the corpus: host-combined fallback
                 weights = self._field_weights(q)
@@ -690,14 +736,16 @@ class RetrievalEngine:
                 top_s, top_i = hybrid_topk_chunked(
                     qflat.astype(self.docs_flat.dtype), self.docs_flat,
                     jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
-                    k=k, chunk_size=TOPK_CHUNK,
+                    k=k, chunk_size=chunk,
                 )
+                self._note_path("singlechip-hybrid-combined")
                 return ("device", top_s, top_i)
             top_s, top_i = fused_dense_topk_from_query(
                 q, W, mask_arr, self.docs_flat, jnp.int32(self.n_docs),
-                fd, k, chunk_size=TOPK_CHUNK,
+                fd, k, chunk_size=chunk,
                 approx=self.dense_topk == "approx",
             )
+            self._note_path("singlechip-dense")
             return ("device", top_s, top_i)
 
         # Mesh full-precision serving: the same fusion as ONE shard_map
@@ -726,9 +774,10 @@ class RetrievalEngine:
                     top_s, top_i = distributed_fused_hybrid_topk_postings(
                         self.mesh, q, W, mask_arr, self.docs_flat,
                         jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(fidx),
-                        self.n_docs, fd, k, chunk_size=TOPK_CHUNK,
+                        self.n_docs, fd, k, chunk_size=chunk,
                         axis=self._corpus_axes, query_axis=qa,
                     )
+                    self._note_path("mesh-hybrid-postings")
                     return ("device", top_s, top_i)
                 # postings denser than the corpus: host-combined fallback
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -744,15 +793,17 @@ class RetrievalEngine:
                 )
                 top_s, top_i = distributed_hybrid_topk(
                     self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
-                    sparse_sharded, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                    sparse_sharded, self.n_docs, k=k, chunk_size=chunk,
                     axis=self._corpus_axes, query_axis=qa,
                 )
+                self._note_path("mesh-hybrid-combined")
                 return ("device", top_s, top_i)
             top_s, top_i = distributed_fused_dense_topk(
                 self.mesh, q, W, mask_arr, self.docs_flat, self.n_docs, fd, k,
-                chunk_size=TOPK_CHUNK, approx=self.dense_topk == "approx",
+                chunk_size=chunk, approx=self.dense_topk == "approx",
                 axis=self._corpus_axes, query_axis=qa,
             )
+            self._note_path("mesh-dense")
             return ("device", top_s, top_i)
 
         # Mesh int8 hybrid serving: the same raw-postings fusion over the
@@ -783,9 +834,10 @@ class RetrievalEngine:
                 top_s, top_i = distributed_fused_hybrid_topk_postings_int8(
                     self.mesh, q, W, mask_arr, self.docs_q, self.doc_scales,
                     ids, vals, fidx, self.n_docs, fd, k,
-                    chunk_size=TOPK_CHUNK, axis=self._corpus_axes,
+                    chunk_size=chunk, axis=self._corpus_axes,
                     query_axis=qa,
                 )
+                self._note_path("mesh-int8-hybrid-postings")
                 return ("device", top_s, top_i)
             # postings denser than the corpus: host-combined fallback (same
             # rule as the fp paths -- [B, N] is then the cheaper transfer)
@@ -803,8 +855,9 @@ class RetrievalEngine:
             top_s, top_i = distributed_hybrid_topk_int8(
                 self.mesh, qflat.astype(jnp.float32), self.docs_q,
                 self.doc_scales, sparse_sharded, self.n_docs, k=k,
-                chunk_size=TOPK_CHUNK, axis=self._corpus_axes, query_axis=qa,
+                chunk_size=chunk, axis=self._corpus_axes, query_axis=qa,
             )
+            self._note_path("mesh-int8-hybrid-combined")
             return ("device", top_s, top_i)
 
         # Remaining paths: sparse-only corpora and the single-chip int8
@@ -829,6 +882,7 @@ class RetrievalEngine:
             part = np.argpartition(-total, k - 1, axis=1)[:, :k]
             part_s = np.take_along_axis(total, part, axis=1)
             order = np.argsort(-part_s, axis=1, kind="stable")
+            self._note_path("host-sparse-only")
             return ("host", self._to_keyed(
                 np.take_along_axis(part_s, order, axis=1),
                 np.take_along_axis(part, order, axis=1),
@@ -841,7 +895,7 @@ class RetrievalEngine:
 
                 top_s, top_i = distributed_dense_topk_int8(
                     self.mesh, qflat.astype(jnp.float32), self.docs_q,
-                    self.doc_scales, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                    self.doc_scales, self.n_docs, k=k, chunk_size=chunk,
                     exact=self.dense_topk != "approx", axis=self._corpus_axes,
                     query_axis=self._qaxis(qflat.shape[0]),
                 )
@@ -851,7 +905,7 @@ class RetrievalEngine:
                 # --dense-topk approx composes here like it does for f32
                 top_s, top_i = dense_topk_chunked_approx_int8(
                     qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
-                    jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK,
+                    jnp.int32(self.n_docs), k=k, chunk_size=chunk,
                     exact=self.dense_topk != "approx",
                 )
             elif self.mesh is not None:
@@ -859,14 +913,14 @@ class RetrievalEngine:
 
                 top_s, top_i = distributed_dense_topk(
                     self.mesh, qflat.astype(self.docs_flat.dtype), self.docs_flat,
-                    self.n_docs, k=k, chunk_size=TOPK_CHUNK, axis=self._corpus_axes,
+                    self.n_docs, k=k, chunk_size=chunk, axis=self._corpus_axes,
                     approx=self.dense_topk == "approx",
                     query_axis=self._qaxis(qflat.shape[0]),
                 )
             else:
                 top_s, top_i = dense_topk_chunked(
                     qflat.astype(self.docs_flat.dtype), self.docs_flat,
-                    jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK,
+                    jnp.int32(self.n_docs), k=k, chunk_size=chunk,
                 )
         else:
             # Only the single-chip int8 hybrid reaches here: fp hybrid (both
@@ -877,8 +931,13 @@ class RetrievalEngine:
             top_s, top_i = hybrid_topk_chunked_int8(
                 qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
                 jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
-                k=k, chunk_size=TOPK_CHUNK,
+                k=k, chunk_size=chunk,
             )
+        self._note_path(
+            ("singlechip-int8" if self.docs_q is not None else "mesh-dense-fallback")
+            + ("-hybrid" if sparse_comb is not None else "-dense")
+            + ("-mesh" if self.mesh is not None else "")
+        )
         return ("device", top_s, top_i)
 
     def retrieve_rerank(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:
@@ -894,6 +953,9 @@ class RetrievalEngine:
         syncs per batch, serial)."""
         b = len(queries)
         q = self.encode_queries(queries)
+        # Recall scans run one-hot folded queries ([B*Fd, Fd*E]), so the
+        # score-tile budget sees B*Fd rows.
+        chunk = topk_chunk(self.n_docs, b * max(len(self.dense_keys), 1))
         # Per-query candidate row-id ARRAYS (unioned with np.unique at
         # finish): python sets cost ~1 us per element-add on the 1-vCPU
         # host -- b * recall_k * n_fields adds per batch.
@@ -963,7 +1025,7 @@ class RetrievalEngine:
                 onehot_q = jnp.einsum("fg,be->bfge", eye, q).reshape(b * fd, fd * self.emb_dim)
                 s, idx = distributed_dense_topk_int8(
                     self.mesh, onehot_q.astype(jnp.float32), self.docs_q,
-                    self.doc_scales, self.n_docs, k=k, chunk_size=TOPK_CHUNK,
+                    self.doc_scales, self.n_docs, k=k, chunk_size=chunk,
                     exact=False, axis=self._corpus_axes,
                     query_axis=self._qaxis(onehot_q.shape[0]),
                 )
@@ -976,20 +1038,20 @@ class RetrievalEngine:
                 onehot_q = jnp.einsum("fg,be->bfge", eye, q).reshape(b * fd, fd * self.emb_dim)
                 s, idx = _i8(
                     onehot_q.astype(jnp.float32), self.docs_q, self.doc_scales,
-                    jnp.int32(self.n_docs), k=k, chunk_size=TOPK_CHUNK,
+                    jnp.int32(self.n_docs), k=k, chunk_size=chunk,
                 )
             elif self.mesh is not None:
                 from mfar_tpu.parallel.topk import distributed_per_field_topk
 
                 s, idx = distributed_per_field_topk(
                     self.mesh, q.astype(self.docs_flat.dtype), self.docs_flat,
-                    self.n_docs, fd, k=k, chunk_size=TOPK_CHUNK,
+                    self.n_docs, fd, k=k, chunk_size=chunk,
                     axis=self._corpus_axes, query_axis=self._qaxis(q.shape[0]),
                 )
             else:
                 s, idx = per_field_topk_chunked_approx(
                     q.astype(self.docs_flat.dtype), self.docs_flat,
-                    jnp.int32(self.n_docs), fd, k=k, chunk_size=TOPK_CHUNK,
+                    jnp.int32(self.n_docs), fd, k=k, chunk_size=chunk,
                 )
         # stage 1b: sparse per-field recall on host (unordered row ids; the
         # union below only needs membership)

@@ -198,6 +198,11 @@ def test_engine_handles_non_chunk_multiple_corpus(monkeypatch):
     import mfar_tpu.eval.retrieval as R
 
     monkeypatch.setattr(R, "TOPK_CHUNK", 16)
+    # Shrink the adaptive score-tile budget so topk_chunk() actually returns
+    # the 16-row floor (the default 1 GiB budget would single-shot this
+    # corpus and dodge the ragged-tail path under test): 3 queries * 4 B *
+    # 16 rows.
+    monkeypatch.setattr(R, "TOPK_SCORE_TILE_BYTES", 3 * 4 * 16)
     rng = np.random.default_rng(0)
     n, fd, e = 37, 2, 8
     matrix = rng.normal(size=(n, fd, e)).astype(np.float32)
