@@ -46,13 +46,18 @@ def make_mesh(
     assert n_replica * n_data * n_model == len(devices), (
         f"mesh {n_replica}x{n_data}x{n_model} != {len(devices)} devices"
     )
-    if n_replica > 1 and getattr(devices[0], "slice_index", None) is not None:
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    if n_replica > 1 and None not in slice_ids and len(slice_ids) == n_replica:
         from jax.experimental import mesh_utils
 
         arr = mesh_utils.create_hybrid_device_mesh(
             (n_data, n_model), (n_replica, 1), devices=devices
         ).reshape(n_replica, n_data, n_model)
     else:
+        # Single physical slice (or virtual CPU devices, which all report
+        # slice_index 0): plain slowest-axis-major reshape.  Devices arrive
+        # process-major, so replica still spans processes in multi-process
+        # runs -- the DCN-posture layout the replica axis exists for.
         arr = np.asarray(devices).reshape(n_replica, n_data, n_model)
     return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
 

@@ -18,6 +18,17 @@ needs, built around how a TPU actually serves:
 - **Single dispatcher thread**: only one thread touches the engine/device;
   HTTP threads hand queries over a queue and block on a per-request event.
 
+- **Multi-host**: when the corpus needs more than one host's chips, the
+  SAME daemon serves the global mesh: process 0 owns the HTTP port and
+  wraps its engine in :class:`MultihostEngineProxy`, which broadcasts each
+  fixed-shape micro-batch (one compiled ``broadcast_one_to_all`` program)
+  to every other process; followers sit in :func:`follower_loop` running
+  the identical engine program in lockstep, so the distributed top-k
+  collectives line up.  Results come back replicated; only process 0
+  answers traffic.  (The reference has no serving daemon at all, and its
+  DDP eval loop's closest analogue is per-rank qres files merged on rank
+  0, reference mfar/modeling/contrastive.py:516-551.)
+
 Endpoints:
   POST /retrieve  {"queries": [...], "top_k"?: int}  ->
                   {"results": [[[doc_key, score], ...], ...]}
@@ -34,6 +45,135 @@ import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+_PAYLOAD_BYTES = 1 << 20  # fixed broadcast buffer: ONE compiled program
+
+
+def _broadcast_msg(msg: Optional[Dict[str, Any]], payload_bytes: int = _PAYLOAD_BYTES):
+    """One lockstep control message across all processes.
+
+    Process 0 passes the message; followers pass None (their buffer content
+    is ignored -- ``broadcast_one_to_all`` takes the source's).  The buffer
+    is FIXED-SIZE (length-prefixed JSON in a [payload_bytes] uint8 array) so
+    the underlying psum compiles once for the daemon's lifetime.
+    """
+    from jax.experimental import multihost_utils
+
+    buf = np.zeros(payload_bytes, np.uint8)
+    if msg is not None:
+        raw = json.dumps(msg).encode()
+        if len(raw) + 8 > payload_bytes:
+            raise ValueError(
+                f"control message ({len(raw)} B) exceeds the broadcast "
+                f"payload ({payload_bytes} B); raise payload_bytes"
+            )
+        buf[:8] = np.frombuffer(len(raw).to_bytes(8, "big"), np.uint8)
+        buf[8 : 8 + len(raw)] = np.frombuffer(raw, np.uint8)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+    n = int.from_bytes(out[:8].tobytes(), "big")
+    return json.loads(out[8 : 8 + n].tobytes())
+
+
+class MultihostEngineProxy:
+    """Engine wrapper for process 0 of a multi-process serving deployment.
+
+    Presents the engine surface the :class:`MicroBatcher` uses (``retrieve``
+    / ``retrieve_many`` / ``n_docs``) but broadcasts every batch to the
+    follower processes FIRST, so each process issues the engine's
+    distributed collectives against the global mesh in the same order.
+    A heartbeat thread broadcasts a no-op when the daemon sits idle longer
+    than ``heartbeat_s`` -- followers are always blocked inside the
+    broadcast collective, and cross-host collectives should not dangle for
+    unbounded wall-clock on quiet services.
+
+    Every broadcast pads the query list to ``max_batch`` (the MicroBatcher
+    already dispatches that shape), keeping the follower-side engine on the
+    single compiled serving program.
+    """
+
+    def __init__(
+        self,
+        engine,
+        max_batch: int = 64,
+        heartbeat_s: float = 15.0,
+        payload_bytes: int = _PAYLOAD_BYTES,
+    ):
+        self.engine = engine
+        self.max_batch = int(max_batch)
+        self.payload_bytes = int(payload_bytes)
+        self.heartbeat_s = float(heartbeat_s)
+        self._lock = threading.Lock()  # serializes broadcasts (batch vs heartbeat)
+        self._last = time.perf_counter()
+        self._stopped = False
+        self._hb_stop = threading.Event()
+        self._hb = threading.Thread(target=self._heartbeat, daemon=True)
+        self._hb.start()
+
+    @property
+    def n_docs(self) -> int:
+        return self.engine.n_docs
+
+    def retrieve(self, queries, top_k: int = 100, mode: Optional[str] = None):
+        queries = [str(q) for q in queries]
+        real = len(queries)
+        if real < self.max_batch:
+            queries = queries + [queries[-1]] * (self.max_batch - real)
+        with self._lock:
+            if self._stopped:
+                raise RuntimeError("serving bridge already stopped")
+            self._bcast({"t": "batch", "q": queries, "k": int(top_k), "m": mode})
+            return self.engine.retrieve(queries, top_k=top_k, mode=mode)[:real]
+
+    def retrieve_many(self, queries, top_k: int = 100, mode: Optional[str] = None,
+                      batch_size: Optional[int] = None):
+        # One broadcast per max_batch chunk; the MicroBatcher only lands
+        # here for single requests larger than max_batch.
+        out = []
+        for i in range(0, len(queries), self.max_batch):
+            out.extend(self.retrieve(queries[i : i + self.max_batch],
+                                     top_k=top_k, mode=mode))
+        return out
+
+    def stop(self) -> None:
+        """Release the followers (they return from follower_loop)."""
+        self._hb_stop.set()
+        with self._lock:
+            if not self._stopped:
+                self._stopped = True
+                self._bcast({"t": "stop"})
+
+    def _heartbeat(self) -> None:
+        while not self._hb_stop.wait(1.0):
+            with self._lock:
+                if self._stopped:
+                    return
+                if time.perf_counter() - self._last >= self.heartbeat_s:
+                    self._bcast({"t": "noop"})
+
+    def _bcast(self, msg: Dict[str, Any]) -> None:
+        _broadcast_msg(msg, self.payload_bytes)
+        self._last = time.perf_counter()
+
+
+def follower_loop(engine, payload_bytes: int = _PAYLOAD_BYTES) -> None:
+    """Non-primary processes' half of the multi-host serving daemon: block
+    on the next control broadcast, run the identical engine batch (results
+    are discarded -- they are replicated, and process 0 answers the HTTP
+    request), repeat until process 0 broadcasts stop."""
+    while True:
+        msg = _broadcast_msg(None, payload_bytes)
+        if msg["t"] == "stop":
+            return
+        if msg["t"] == "noop":
+            continue
+        try:
+            engine.retrieve(msg["q"], top_k=msg["k"], mode=msg["m"])
+        except Exception as e:  # noqa: BLE001 -- mirror process 0's behavior:
+            # identical inputs raise identically there, where the batcher
+            # reports the error to the waiting requests and keeps serving.
+            print(f"[serve-follower] batch failed: {type(e).__name__}: {e}",
+                  flush=True)
 
 
 class _Pending:

@@ -10,6 +10,10 @@ checkpointing.  Spawned by tests/test_multihost.py.
 import os
 import sys
 
+# Workers run as plain scripts (sys.path[0] = tests/), so the repo root
+# must be inserted for `import mfar_tpu` regardless of install state.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main() -> None:
     pid, nproc, port, ds, idx, scores, out = sys.argv[1:8]
