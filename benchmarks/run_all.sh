@@ -11,7 +11,11 @@
 # section is independent -- a failure or timeout moves on to the next.
 set -u
 cd "$(dirname "$0")/.."
-LOG=benchmarks/results_r3.log
+# The exp_*.py scripts live in benchmarks/, so sys.path[0] is benchmarks/ --
+# the repo root must be importable even when the package isn't pip-installed
+# (round-4 lesson: every section died on ModuleNotFoundError without this).
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
+LOG=benchmarks/results_r4.log
 stamp() { date +"%Y-%m-%d %H:%M:%S"; }
 say() { echo "[$(stamp)] $*" | tee -a "$LOG"; }
 
@@ -42,9 +46,6 @@ print('REPROBE_OK', float((jnp.ones((128,128)) @ jnp.ones((128,128))).sum()))" \
   fi
 }
 
-# 1. The driver bench: every claim in one JSON line (headline + extras).
-run bench 1500 python bench.py
-
 # 2. Engine end-to-end breakdowns at production shapes.
 run engine_dense_b256 900 python benchmarks/exp_engine.py dense 1048576 256
 run engine_hybrid_b64 900 python benchmarks/exp_engine.py hybrid 1048576 64
@@ -68,5 +69,10 @@ run train_step 900 python benchmarks/exp_train_step.py bf16sm
 #    (ops/pallas_kernels.py cross_row_prefetch -- flip its default if xrow
 #    is correct AND faster here).
 run pallas_gather 600 python benchmarks/exp_pallas.py all 262144 256 128
+
+# 6. The driver bench LAST: every claim in one JSON line (headline +
+#    extras).  Runs last so a mid-campaign relay death costs the number the
+#    driver re-measures at end-of-round anyway, not the engine breakdowns.
+run bench 2400 python bench.py
 
 say "campaign complete -- results in $LOG"
