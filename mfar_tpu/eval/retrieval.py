@@ -103,8 +103,10 @@ class RetrievalEngine:
         mask: Optional[np.ndarray] = None,  # [Ftot] field ablation mask
         use_pallas_gather: bool = False,  # opt-in Pallas rerank (see ops/pallas_kernels.py)
         pallas_cross_row: bool = False,  # cross-row DMA prefetch inside the
-        #   Pallas rerank kernel (no per-query warm-up stall); opt-in until
-        #   validated on real TPU hardware
+        #   Pallas rerank kernel (no per-query warm-up stall).  Validated on
+        #   hardware round 4 but slower than the megacore default (32.3 vs
+        #   29.3 ms/batch), which it excludes -- kept for sequential-grid
+        #   debugging
         quantize: Optional[str] = None,  # "int8": half corpus HBM (2x docs/chip),
         #                                  ~0.5% score precision trade
         mesh=None,  # jax.sharding.Mesh: shard the corpus + distribute the scans
@@ -1154,6 +1156,12 @@ class RetrievalEngine:
                     q.astype(jnp.float32), self.docs_rows, cand_j.astype(jnp.int32), fd,
                     interpret=jax.default_backend() != "tpu",
                     cross_row_prefetch=self.pallas_cross_row,
+                    # Megacore (parallel query-row grid axis) won the round-4
+                    # hardware validation (29.3 vs 35.3 ms/batch base, 49.4
+                    # XLA at N=131K B=256 C=128) but composes only with
+                    # row-local prefetch -- default on unless cross-row
+                    # prefetch was requested.
+                    megacore=not self.pallas_cross_row,
                 )
             else:
                 if self.docs_q is not None:  # dequantize just the candidates

@@ -119,6 +119,11 @@ def _gather_score_kernel(
                 seg, q,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                # f32 inputs must score at f32 precision (default MXU
+                # precision truncates operands to bf16: 97% of outputs
+                # drifted ~1e-2 vs the XLA reference on real TPU, round 4);
+                # the kernel is DMA-bound, so the extra passes are free.
+                precision=jax.lax.Precision.HIGHEST,
             )
         )  # [TILE_C]
     out_ref[0] = jnp.stack(per_field, axis=1)  # [TILE_C, F]
@@ -147,14 +152,17 @@ def gather_per_field_scores_pallas(
 
     ``cross_row_prefetch=True`` keys the double-buffer slot off the global
     tile index so the prefetch window crosses query-row boundaries (no
-    per-row warm-up stall); opt-in until validated on real TPU hardware.
+    per-row warm-up stall).
 
     ``megacore=True`` declares the query-row grid axis ``parallel``
     (``dimension_semantics``) so the two TPU megacores split the batch --
     query rows are independent when prefetch stays row-local, so this
     composes with the default prefetch but NOT with ``cross_row_prefetch``
-    (whose slot parity assumes one sequential grid walk).  Opt-in until
-    validated on hardware (interpret mode ignores semantics).
+    (whose slot parity assumes one sequential grid walk).
+
+    All three variants validated on real TPU, round 4 (exp_pallas.py at
+    N=131072 B=256 C=128): XLA 49.4 ms/batch, base 35.3, cross-row 32.3,
+    megacore 29.3 -- the engine defaults to megacore.
     """
     b, e = q.shape
     if docs_rows.ndim == 2:
@@ -216,4 +224,6 @@ def gather_per_field_scores_xla(q, docs, cand_ids):
         b, e = q.shape
         docs = docs.reshape(docs.shape[0], docs.shape[1] // e, e)
     rows = jnp.take(docs, cand_ids, axis=0)  # [B, C, F, E]
-    return jnp.einsum("be,bcfe->bcf", q, rows, preferred_element_type=jnp.float32)
+    return jnp.einsum("be,bcfe->bcf", q, rows,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
