@@ -696,9 +696,15 @@ def per_field_topk_chunked_approx(
 
     def chunk_topk(chunk_docs, offset):
         c = chunk_docs.shape[0]
-        d3 = chunk_docs.reshape(c, f, e)
-        # [F, B, chunk]: F batched MXU matmuls over one chunk read
-        s = jnp.einsum("be,cfe->fbc", q, d3, preferred_element_type=jnp.float32)
+        # [F, B, chunk]: F MXU matmuls over one chunk read.  Each field is a
+        # LANE-aligned slice of the flat [c, F*E] layout (E = 768 = 6 lane
+        # tiles) -- a [c, F, E] reshape instead pads F to 8 sublanes, a 1.6x
+        # corpus-size relayout that OOMs the compile at N=1M (round 4).
+        s = jnp.stack([
+            jnp.dot(q, chunk_docs[:, i * e : (i + 1) * e].T,
+                    preferred_element_type=jnp.float32)
+            for i in range(f)
+        ])
         idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
         bias = jnp.where(idx < valid_n, 0.0, -jnp.inf)
         kk = min(k, c)
