@@ -289,17 +289,33 @@ class RetrievalEngine:
                     self._host_transfer_dtype = dense_dtype
             elif quantize == "int8":
                 assert not use_pallas_gather, "pallas gather path is full-precision only"
-                # host-side quantization so the f32 corpus never transits HBM
-                dq, ds = quantize_rows_int8_np(flat)
-                if mesh is not None:
-                    from jax.sharding import NamedSharding, PartitionSpec as P
+                if isinstance(flat, jax.Array):
+                    # Corpus already device-committed: quantize THERE (one
+                    # row-wise reduce + cast).  Pulling it to host first
+                    # D2H's the full corpus and runs minutes of 1-thread
+                    # numpy (round 4: the N=1M int8 build never finished).
+                    from mfar_tpu.ops.scoring import quantize_rows_int8
 
-                    row_sh = NamedSharding(mesh, P(self._corpus_axes))
-                    self.docs_q = jax.device_put(dq, row_sh)
-                    self.doc_scales = jax.device_put(ds, row_sh)
+                    if mesh is not None:
+                        from jax.sharding import NamedSharding, PartitionSpec as P
+
+                        flat = jax.device_put(
+                            flat, NamedSharding(mesh, P(self._corpus_axes))
+                        )
+                    self.docs_q, self.doc_scales = jax.jit(quantize_rows_int8)(flat)
                 else:
-                    self.docs_q = jnp.asarray(dq)
-                    self.doc_scales = jnp.asarray(ds)
+                    # host corpus: quantize host-side so the f32 matrix
+                    # never transits HBM
+                    dq, ds = quantize_rows_int8_np(flat)
+                    if mesh is not None:
+                        from jax.sharding import NamedSharding, PartitionSpec as P
+
+                        row_sh = NamedSharding(mesh, P(self._corpus_axes))
+                        self.docs_q = jax.device_put(dq, row_sh)
+                        self.doc_scales = jax.device_put(ds, row_sh)
+                    else:
+                        self.docs_q = jnp.asarray(dq)
+                        self.doc_scales = jnp.asarray(ds)
             elif quantize:
                 raise ValueError(f"unknown quantize mode {quantize!r}")
             elif mesh is not None:
