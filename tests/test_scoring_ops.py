@@ -275,3 +275,50 @@ def test_softmax_field_weights_requires_q_for_conditioned_mixer():
     # global spellings still work without q
     assert softmax_field_weights(jnp.ones((1, 3)), None).shape == (1, 3)
     assert softmax_field_weights(jnp.ones((3,)), None).shape == (1, 3)
+
+
+def test_exact_topk_rows_matches_full_sort():
+    """exact_topk_rows (two-level block reduction, round 4) returns exactly
+    lax.top_k's VALUES on wide rows -- including adversarial placements: all
+    winners inside one block, heavy ties, -inf-masked tails -- and its
+    indices select elements with those exact values."""
+    from mfar_tpu.ops.scoring import exact_topk_rows
+
+    rng = np.random.default_rng(0)
+    rows, n, k = 4, 128 * 80, 37  # wide enough to take the block path
+    x = rng.normal(size=(rows, n)).astype(np.float32)
+    x[0, 256:293] += 100.0       # all k winners inside one block
+    x[1, :] = 1.0                # fully tied row
+    x[2, n // 2:] = -np.inf      # masked tail (the valid_n pattern)
+    xj = jnp.asarray(x)
+
+    want_s, _ = jax.lax.top_k(xj, k)
+    got_s, got_i = exact_topk_rows(xj, k)
+    np.testing.assert_array_equal(np.asarray(got_s), np.asarray(want_s))
+    # indices point at elements carrying the returned values
+    np.testing.assert_array_equal(
+        np.take_along_axis(x, np.asarray(got_i), axis=1), np.asarray(got_s)
+    )
+    # ...and are unique per row (no element returned twice)
+    for r in range(rows):
+        assert len(set(np.asarray(got_i)[r].tolist())) == k
+
+    # narrow / non-multiple widths fall back to the plain sort
+    for width in (512, 128 * 80 + 1):
+        y = jnp.asarray(rng.normal(size=(rows, width)).astype(np.float32))
+        fs, fi = exact_topk_rows(y, k)
+        ws, _ = jax.lax.top_k(y, k)
+        np.testing.assert_array_equal(np.asarray(fs), np.asarray(ws))
+
+
+def test_topk_chunk_budget():
+    """topk_chunk: full-corpus single shot inside the score-tile budget,
+    floor-granular chunks beyond it, never below the TOPK_CHUNK floor."""
+    import mfar_tpu.eval.retrieval as R
+
+    n = 1_048_576
+    assert R.topk_chunk(n, 256) == n  # 1 GiB / (4*256) = exactly n rows
+    c512 = R.topk_chunk(n, 512)
+    assert c512 == (1 << 30) // (4 * 512)  # 524288, already floor-multiple
+    assert R.topk_chunk(n, 4096) == R.TOPK_CHUNK  # budget below the floor
+    assert R.topk_chunk(64, 8) == 64  # tiny corpus: one shot

@@ -228,3 +228,28 @@ def test_serve_cli_smoke(tmp_path):
         assert payload["results"] and len(payload["results"][0]) == 5
     finally:
         srv.shutdown()
+
+
+def test_serve_cli_smoke_out(tmp_path):
+    """`serve --smoke-out` drives the WHOLE daemon stack in-process (warmup
+    -> bind on an ephemeral port -> HTTP POST of the dataset's test queries
+    -> stats -> clean shutdown) and writes qids/results/stats JSON -- the
+    same self-test the 2-process multihost serving test runs per worker."""
+    from mfar_tpu.commands import make_synth_data
+    from mfar_tpu.commands import serve as serve_cmd
+
+    ds = str(tmp_path / "ds")
+    make_synth_data.main(["--out", ds, "--n-docs", "24",
+                          "--n-train", "4", "--n-val", "4"])
+    out = str(tmp_path / "smoke.json")
+    serve_cmd.main([
+        "--dataset-name", "amazon", "--data", ds,
+        "--field-names", "title_dense", "--model-name", "synthetic",
+        "--mesh", "off", "--top-k", "5", "--max-batch", "4", "--port", "0",
+        "--smoke-out", out,
+    ])
+    smoke = json.load(open(out))
+    assert smoke["qids"] and len(smoke["results"]) == len(smoke["qids"])
+    assert all(len(hits) == 5 for hits in smoke["results"])
+    assert smoke["stats"]["queries"] == len(smoke["qids"])
+    assert smoke["stats"]["errors"] == 0
