@@ -560,8 +560,11 @@ class RetrievalEngine:
             return None
         ids = np.concatenate([i for i, _, _ in per_field], axis=1)
         vals = np.concatenate([v for _, v, _ in per_field], axis=1)
+        # int8 field index: lossless (sparse-field count < 128) and 1/3 off
+        # the per-posting H2D bytes (ids i32 + vals f32 + fidx: 12 -> 9 B);
+        # device consumers widen in-program before the weight gather.
         fidx = np.concatenate(
-            [np.full(i.shape, s_i, np.int32) for i, _, s_i in per_field], axis=1
+            [np.full(i.shape, s_i, np.int8) for i, _, s_i in per_field], axis=1
         )
         pad = self._bucket_pad(ids.shape[1])
         if pad:

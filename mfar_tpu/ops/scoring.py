@@ -998,8 +998,8 @@ def fused_hybrid_topk_postings_from_query(
     qflat = fold_queries(q, weights[:, :num_dense]).astype(docs_flat.dtype)
     # per-posting sparse-field weight: weights[:, num_dense + field]
     w_sparse = jnp.take_along_axis(
-        weights, num_dense + post_field, axis=1
-    )  # [B, M]
+        weights, num_dense + post_field.astype(jnp.int32), axis=1
+    )  # [B, M] (post_field ships as int8 -- widen in-program)
     sparse_comb = jnp.zeros((b, n), jnp.float32)
     sparse_comb = sparse_comb.at[jnp.arange(b)[:, None], post_ids].add(
         post_vals * w_sparse

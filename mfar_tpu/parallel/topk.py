@@ -698,7 +698,9 @@ def _build_fused_hybrid_topk_postings(mesh, n, valid_n, num_dense, k,
         weights = softmax_field_weights(W_, q_, mask_)
         weights = jnp.broadcast_to(weights, (b, weights.shape[-1]))
         qflat = fold_queries(q_, weights[:, :num_dense]).astype(docs.dtype)
-        w_sparse = jnp.take_along_axis(weights, num_dense + fidx, axis=1)
+        w_sparse = jnp.take_along_axis(
+            weights, num_dense + fidx.astype(jnp.int32), axis=1
+        )  # fidx ships as int8 -- widen in-program
         shard_id = jax.lax.axis_index(axis)
         offset = (shard_id * shard_n).astype(jnp.int32)
         local_valid = jnp.clip(valid_n - offset, 0, shard_n)
@@ -1102,7 +1104,9 @@ def _build_fused_hybrid_topk_postings_int8(mesh, n, valid_n, num_dense, k,
         weights = softmax_field_weights(W_, q_, mask_)
         weights = jnp.broadcast_to(weights, (b, weights.shape[-1]))
         qflat = fold_queries(q_, weights[:, :num_dense]).astype(jnp.float32)
-        w_sparse = jnp.take_along_axis(weights, num_dense + fidx, axis=1)
+        w_sparse = jnp.take_along_axis(
+            weights, num_dense + fidx.astype(jnp.int32), axis=1
+        )  # fidx ships as int8 -- widen in-program
         shard_id = jax.lax.axis_index(axis)
         offset = (shard_id * shard_n).astype(jnp.int32)
         local_valid = jnp.clip(valid_n - offset, 0, shard_n)
