@@ -414,6 +414,10 @@ def main():
             return dense_engine[0]
         section("engine_dense_exact_qps",
                 lambda: engine_qps(get_dense(), world, 256, "exact"))
+        # throughput mode: B=512 amortizes the query encode better (the
+        # e2e bottleneck once the exact scan got its round-4 rebuild)
+        section("engine_dense_exact_b512_qps",
+                lambda: engine_qps(get_dense(), world, 512, "exact"))
         def _approx_qps():
             eng = get_dense()
             eng.dense_topk = "approx"  # PartialReduce selection (recall>=0.95)
