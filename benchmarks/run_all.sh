@@ -52,9 +52,11 @@ run engine_hybrid_b64 900 python benchmarks/exp_engine.py hybrid 1048576 64
 run engine_hybrid_b256 900 python benchmarks/exp_engine.py hybrid 1048576 256
 
 # 2b. Host-streamed corpus (capacity escape hatch): price the H2D-bound
-#     modes at half the headline N (host RAM on the serving rig is small).
-run engine_dense_host 900 python benchmarks/exp_engine.py dense-host 524288 256
-run engine_dense_host_i8 900 python benchmarks/exp_engine.py dense-host-int8 524288 256
+#     modes at an N the relay tunnel (~75 MB/s standing in for PCIe) can
+#     finish inside the timeout -- round 4 measured 2 QPS at N=512K, i.e.
+#     the 524288 sections burned their full 900 s and still timed out.
+run engine_dense_host 900 python benchmarks/exp_engine.py dense-host 131072 256
+run engine_dense_host_i8 900 python benchmarks/exp_engine.py dense-host-int8 131072 256
 
 # 3. Op-level: the B=512 row-block path (round-2 cliff fix).
 run topk_b512 600 python benchmarks/exp_topk.py 512 256
@@ -65,10 +67,10 @@ run server_n1m 900 python benchmarks/exp_server.py 1048576 256 64 30
 # 4. Train step with the recommended flags (726 ms/step claimed).
 run train_step 900 python benchmarks/exp_train_step.py bf16sm
 
-# 5. Pallas rerank gather: validate + price the cross-row DMA prefetch
-#    (ops/pallas_kernels.py cross_row_prefetch -- flip its default if xrow
-#    is correct AND faster here).
-run pallas_gather 600 python benchmarks/exp_pallas.py all 262144 256 128
+# 5. Pallas rerank gather: validate + price every variant (round 4: all
+#    three validated, megacore made the default).  N=131072: the f32
+#    corpus + its row-DMA copy at 262144 rows OOM'd the 16 GB chip.
+run pallas_gather 600 python benchmarks/exp_pallas.py all 131072 256 128
 
 # 6. The driver bench LAST: every claim in one JSON line (headline +
 #    extras).  Runs last so a mid-campaign relay death costs the number the
