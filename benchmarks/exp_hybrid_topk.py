@@ -36,9 +36,15 @@ def main():
     orig = scoring.exact_topk_rows
     print(f"N={N} B={B} M={M} K={K} Q={Q}", flush=True)
 
+    jaxprs = {}
     for chunk in CHUNKS:
         for select in ("blocks", "sort"):
             scoring.exact_topk_rows = orig if select == "blocks" else jax.lax.top_k
+            # hybrid_topk_chunked is itself @jax.jit: its traced lowering
+            # (which read the module global at TRACE time) is cached across
+            # monkeypatches, so without this the second variant silently
+            # re-measures the first.
+            scoring.hybrid_topk_chunked.clear_cache()
 
             @jax.jit
             def run_all(qs, d, kid, kval):
@@ -54,6 +60,16 @@ def main():
                 return outs.sum()
 
             try:
+                # Self-check that the patch took: the two selectors must
+                # lower to different programs for this chunk size.
+                jaxprs[(chunk, select)] = str(
+                    jax.make_jaxpr(run_all)(qs, docs, kid, kval)
+                )
+                other = jaxprs.get((chunk, "blocks" if select == "sort" else "sort"))
+                if other is not None and other == jaxprs[(chunk, select)]:
+                    print(f"chunk={chunk:>8} {select:>6}: WARNING identical "
+                          "lowering to the other selector (patch defeated?)",
+                          flush=True)
                 float(run_all(qs, docs, kid, kval))
                 times = []
                 for _ in range(3):
@@ -67,6 +83,7 @@ def main():
                 print(f"chunk={chunk:>8} {select:>6}: FAILED {type(e).__name__}: {e}",
                       flush=True)
     scoring.exact_topk_rows = orig
+    scoring.hybrid_topk_chunked.clear_cache()
 
 
 if __name__ == "__main__":

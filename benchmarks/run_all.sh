@@ -2,7 +2,7 @@
 # One-shot TPU measurement campaign: the full BENCH_NOTES.md round-3
 # checklist, one configuration per process (the relay wedges if a process
 # dies mid-compile -- see BENCH_NOTES.md "Timing"), each inside its own
-# timeout, results appended to benchmarks/results_r3.log.
+# timeout, results appended to a fresh timestamped log (see LOG below).
 #
 # Usage: bash benchmarks/run_all.sh            # probe, then run everything
 #        bash benchmarks/run_all.sh --no-probe # skip the probe (relay known up)
@@ -15,7 +15,11 @@ cd "$(dirname "$0")/.."
 # the repo root must be importable even when the package isn't pip-installed
 # (round-4 lesson: every section died on ModuleNotFoundError without this).
 export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
-LOG=benchmarks/results_r4.log
+# Fresh timestamped log per campaign (override with MFAR_CAMPAIGN_LOG).
+# The committed results_r*.log files are historical artifacts BENCH_NOTES
+# cites -- appending live runs to them interleaved new output with the
+# checked-in evidence.
+LOG=${MFAR_CAMPAIGN_LOG:-benchmarks/results_$(date +%Y%m%d_%H%M%S).log}
 stamp() { date +"%Y-%m-%d %H:%M:%S"; }
 say() { echo "[$(stamp)] $*" | tee -a "$LOG"; }
 

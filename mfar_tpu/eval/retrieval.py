@@ -920,6 +920,7 @@ class RetrievalEngine:
                     exact=self.dense_topk != "approx", axis=self._corpus_axes,
                     query_axis=self._qaxis(qflat.shape[0]),
                 )
+                path = "mesh-int8-dense"
             elif self.docs_q is not None:
                 # exact per-chunk top-k by default (the only deviation from
                 # f32 retrieval is then the quantization error itself);
@@ -929,7 +930,10 @@ class RetrievalEngine:
                     jnp.int32(self.n_docs), k=k, chunk_size=chunk,
                     exact=self.dense_topk != "approx",
                 )
+                path = "singlechip-int8-dense"
             elif self.mesh is not None:
+                # defensive fallback: fp mesh dense normally rides the
+                # fused branch above ("mesh-dense")
                 from mfar_tpu.parallel.topk import distributed_dense_topk
 
                 top_s, top_i = distributed_dense_topk(
@@ -938,11 +942,15 @@ class RetrievalEngine:
                     approx=self.dense_topk == "approx",
                     query_axis=self._qaxis(qflat.shape[0]),
                 )
+                path = "mesh-dense-unfused"
             else:
+                # defensive fallback: fp single-chip dense normally rides
+                # the fused branch above
                 top_s, top_i = dense_topk_chunked(
                     qflat.astype(self.docs_flat.dtype), self.docs_flat,
                     jnp.int32(self.n_docs), k=k, chunk_size=chunk,
                 )
+                path = "singlechip-dense-unfused"
         else:
             # Only the single-chip int8 hybrid reaches here: fp hybrid (both
             # single-chip and mesh) rides the fused-postings branches above,
@@ -954,11 +962,8 @@ class RetrievalEngine:
                 jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
                 k=k, chunk_size=chunk,
             )
-        self._note_path(
-            ("singlechip-int8" if self.docs_q is not None else "mesh-dense-fallback")
-            + ("-hybrid" if sparse_comb is not None else "-dense")
-            + ("-mesh" if self.mesh is not None else "")
-        )
+            path = "singlechip-int8-hybrid"
+        self._note_path(path)
         return ("device", top_s, top_i)
 
     def retrieve_rerank(self, queries: Sequence[str], top_k: int = 100) -> List[List[Tuple[str, float]]]:

@@ -58,6 +58,23 @@ def make_mesh(
         # slice_index 0): plain slowest-axis-major reshape.  Devices arrive
         # process-major, so replica still spans processes in multi-process
         # runs -- the DCN-posture layout the replica axis exists for.
+        if len(slice_ids - {None}) > 1:
+            # Real multi-slice pod whose slice count != n_replica (e.g.
+            # 4 slices, --n-replica 2).  The reshape keeps replica
+            # slice-contiguous (devices arrive slice-sorted) but the DATA
+            # axis then spans DCN within each replica -- a legitimate
+            # capacity layout, but collectives on it run at DCN, not ICI,
+            # bandwidth.  Say so instead of silently degrading.
+            import warnings
+
+            warnings.warn(
+                f"make_mesh: {len(slice_ids)} physical slices but "
+                f"n_replica={n_replica}; the '{DATA_AXIS}' axis will span "
+                "DCN links inside each replica (expect DCN-bandwidth "
+                "collectives there). Set --n-replica to the slice count "
+                "for the ICI-aligned hybrid mesh.",
+                stacklevel=2,
+            )
         arr = np.asarray(devices).reshape(n_replica, n_data, n_model)
     return Mesh(arr, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
 

@@ -784,6 +784,67 @@ def _build_host_stream_ops(mesh, kk: int):
     )
 
 
+def _stream_geometry(mesh, n: int, k: int, chunk_size: int, axis: AxisSpec):
+    """Chunk geometry shared by every mesh host stream: the chunk rounds to
+    the shard count (equal rows per shard per chunk), the carry width kk
+    caps at the corpus.  Returns (n_shards, chunk_size, kk, n_chunks)."""
+    n_shards = _axis_size(mesh, axis)
+    chunk_size = max(chunk_size // n_shards, 1) * n_shards
+    return n_shards, chunk_size, min(k, n), -(-n // chunk_size)
+
+
+def _stream_tail_target(lo: int, hi: int, chunk_size: int, n_chunks: int,
+                        n_shards: int) -> int:
+    """Row count a chunk pads to: tail chunks pad to the ONE compiled chunk
+    shape; a LONE chunk only needs shard divisibility (padding rows are
+    masked via the valid row count)."""
+    return chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
+
+
+def _stream_row_chunk(arrs, casts, lo: int, hi: int, target: int):
+    """Slice [lo:hi) rows from each host array (cast where requested) and
+    zero-pad to ``target`` rows.  The common full-chunk uncast path passes
+    memmap slices through uncopied -- device_put then reads only each
+    addressable shard's rows, so under a multi-host mesh a disk-backed
+    corpus pages in LOCAL rows only."""
+    out = []
+    for a, dt in zip(arrs, casts):
+        c = a[lo:hi]
+        if dt is not None:
+            c = np.asarray(c).astype(jnp.dtype(dt), copy=False)
+        if hi - lo < target:
+            widths = [(0, target - (hi - lo))] + [(0, 0)] * (a.ndim - 1)
+            c = np.pad(np.asarray(c), widths)
+        out.append(c)
+    return out
+
+
+def _sparse_chunk_feed(mesh, post_ids, post_wvals, sparse_comb_host, col_sh):
+    """Per-chunk device sparse operands for the hybrid streams, as
+    ``feed(lo, hi, target) -> tuple``.  Postings are chunk-INVARIANT: one
+    replicated upload, then a device-side id offset per chunk -- re-putting
+    (post_ids - lo, post_wvals) per chunk re-shipped ~B*M*8 identical bytes
+    per chunk over the very H2D link this mode is bound by.  The [B, N]
+    combined fallback streams its column slice per chunk instead."""
+    if post_ids is not None:
+        # HOST arrays go straight into the replicated device_put: an interim
+        # jnp.asarray would commit them to the LOCAL default device, and a
+        # device-committed local tensor cannot be re-put onto a global mesh
+        # under multi-host.
+        ids_rep, vals_rep = _replicate(mesh, post_ids, post_wvals)
+        # chunk-local ids: postings outside [lo, hi) go negative / >= chunk
+        # rows and the per-shard scatter drops them
+        return lambda lo, hi, target: (ids_rep - jnp.int32(lo), vals_rep)
+
+    def feed(lo, hi, target):
+        sp = np.asarray(sparse_comb_host[:, lo:hi], np.float32)
+        if sp.shape[1] < target:
+            sp = np.pad(sp, ((0, 0), (0, target - sp.shape[1])))
+        return (jax.device_put(sp, col_sh),)
+
+    return feed
+
+
 def distributed_dense_topk_host_streamed(
     mesh,
     qflat: jax.Array,  # [B, F*E] folded queries
@@ -804,12 +865,9 @@ def distributed_dense_topk_host_streamed(
     stream: one tiny fetch per chunk bounds in-flight H2D buffers."""
     n, fe = docs_host.shape
     assert n > 0 and k >= 1
-    n_shards = _axis_size(mesh, axis)
-    # every shard must get equal rows per chunk: round the chunk to the
-    # shard count and pad the tail chunk to the one compiled shape
-    chunk_size = max(chunk_size // n_shards, 1) * n_shards
-    kk = min(k, n)
-    n_chunks = -(-n // chunk_size)
+    n_shards, chunk_size, kk, n_chunks = _stream_geometry(
+        mesh, n, k, chunk_size, axis
+    )
     row_sh = NamedSharding(mesh, P(axis))
 
     if transfer_dtype is not None:
@@ -819,18 +877,8 @@ def distributed_dense_topk_host_streamed(
     def put_chunk(i):
         lo = i * chunk_size
         hi = min(n, lo + chunk_size)
-        # no np.asarray on the common (full, uncast) chunk: device_put of a
-        # memmap slice reads only each addressable shard's rows, so under a
-        # multi-host mesh a disk-backed corpus pages in LOCAL rows only
-        c = docs_host[lo:hi]
-        if transfer_dtype is not None:
-            c = np.asarray(c).astype(jnp.dtype(transfer_dtype), copy=False)
-        # pad the tail chunk to the one compiled shape; a LONE chunk only
-        # needs shard divisibility (rows pad to the shard count, masked
-        # via the valid row count)
-        target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
-        if hi - lo < target:
-            c = np.pad(np.asarray(c), ((0, target - (hi - lo)), (0, 0)))
+        target = _stream_tail_target(lo, hi, chunk_size, n_chunks, n_shards)
+        (c,) = _stream_row_chunk((docs_host,), (transfer_dtype,), lo, hi, target)
         return (jax.device_put(c, row_sh),), lo, hi - lo
 
     k_chunk = min(kk, chunk_size)
@@ -883,10 +931,9 @@ def distributed_dense_topk_host_streamed_int8(
     and the mesh's aggregate-bandwidth scaling compose."""
     n, fe = docs_q_host.shape
     assert n > 0 and k >= 1 and scales_host.shape == (n,)
-    n_shards = _axis_size(mesh, axis)
-    chunk_size = max(chunk_size // n_shards, 1) * n_shards
-    kk = min(k, n)
-    n_chunks = -(-n // chunk_size)
+    n_shards, chunk_size, kk, n_chunks = _stream_geometry(
+        mesh, n, k, chunk_size, axis
+    )
     row_sh = NamedSharding(mesh, P(axis))
 
     (qflat,) = _replicate(mesh, qflat)
@@ -894,15 +941,10 @@ def distributed_dense_topk_host_streamed_int8(
     def put_chunk(i):
         lo = i * chunk_size
         hi = min(n, lo + chunk_size)
-        # memmap slices pass through uncopied on the common full-chunk path
-        # (device_put reads only each addressable shard's rows)
-        cq = docs_q_host[lo:hi]
-        cs = np.asarray(scales_host[lo:hi], np.float32)
-        target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
-        if hi - lo < target:
-            pad = target - (hi - lo)
-            cq = np.pad(np.asarray(cq), ((0, pad), (0, 0)))
-            cs = np.pad(cs, (0, pad))
+        target = _stream_tail_target(lo, hi, chunk_size, n_chunks, n_shards)
+        cq, cs = _stream_row_chunk(
+            (docs_q_host, scales_host), (None, np.float32), lo, hi, target
+        )
         return (
             (jax.device_put(cq, row_sh), jax.device_put(cs, row_sh)),
             lo,
@@ -923,9 +965,9 @@ def distributed_dense_topk_host_streamed_int8(
 
 def _hybrid_stream_postings_feed(post_ids, post_wvals, sparse_comb_host):
     """Validate + normalize the sparse feed for the mesh hybrid streams:
-    postings arrive as HOST arrays (they are re-sliced per chunk with
-    chunk-local offsets, and host arrays are the multi-host-safe form --
-    a device-committed local tensor cannot be re-put onto a global mesh)."""
+    postings arrive as HOST arrays (the multi-host-safe form -- a
+    device-committed local tensor cannot be re-put onto a global mesh;
+    :func:`_sparse_chunk_feed` replicates them onto the mesh once)."""
     assert (post_ids is None) != (sparse_comb_host is None), (
         "exactly one sparse representation: postings or a combined tensor"
     )
@@ -960,36 +1002,25 @@ def distributed_hybrid_topk_host_streamed(
     )
     n, fe = docs_host.shape
     assert n > 0 and k >= 1
-    n_shards = _axis_size(mesh, axis)
-    chunk_size = max(chunk_size // n_shards, 1) * n_shards
-    kk = min(k, n)
-    n_chunks = -(-n // chunk_size)
+    n_shards, chunk_size, kk, n_chunks = _stream_geometry(
+        mesh, n, k, chunk_size, axis
+    )
     row_sh = NamedSharding(mesh, P(axis))
     col_sh = NamedSharding(mesh, P(None, axis))
 
     if transfer_dtype is not None:
         qflat = qflat.astype(transfer_dtype)
     (qflat,) = _replicate(mesh, qflat)
+    sparse_feed = _sparse_chunk_feed(
+        mesh, post_ids, post_wvals, sparse_comb_host, col_sh
+    )
 
     def put_chunk(i):
         lo = i * chunk_size
         hi = min(n, lo + chunk_size)
-        c = docs_host[lo:hi]  # memmap slices: local shard rows only
-        if transfer_dtype is not None:
-            c = np.asarray(c).astype(jnp.dtype(transfer_dtype), copy=False)
-        target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
-        if hi - lo < target:
-            c = np.pad(np.asarray(c), ((0, target - (hi - lo)), (0, 0)))
-        if post_ids is not None:
-            # chunk-local ids: postings outside [lo, hi) go negative /
-            # >= chunk rows and the per-shard scatter drops them
-            sparse = (jax.device_put(post_ids - lo), jax.device_put(post_wvals))
-        else:
-            sp = np.asarray(sparse_comb_host[:, lo:hi], np.float32)
-            if sp.shape[1] < target:
-                sp = np.pad(sp, ((0, 0), (0, target - sp.shape[1])))
-            sparse = (jax.device_put(sp, col_sh),)
-        return (jax.device_put(c, row_sh), *sparse), lo, hi - lo
+        target = _stream_tail_target(lo, hi, chunk_size, n_chunks, n_shards)
+        (c,) = _stream_row_chunk((docs_host,), (transfer_dtype,), lo, hi, target)
+        return (jax.device_put(c, row_sh), *sparse_feed(lo, hi, target)), lo, hi - lo
 
     k_chunk = min(kk, chunk_size)
 
@@ -1029,34 +1060,27 @@ def distributed_hybrid_topk_host_streamed_int8(
     )
     n, fe = docs_q_host.shape
     assert n > 0 and k >= 1 and scales_host.shape == (n,)
-    n_shards = _axis_size(mesh, axis)
-    chunk_size = max(chunk_size // n_shards, 1) * n_shards
-    kk = min(k, n)
-    n_chunks = -(-n // chunk_size)
+    n_shards, chunk_size, kk, n_chunks = _stream_geometry(
+        mesh, n, k, chunk_size, axis
+    )
     row_sh = NamedSharding(mesh, P(axis))
     col_sh = NamedSharding(mesh, P(None, axis))
 
     (qflat,) = _replicate(mesh, qflat)
+    sparse_feed = _sparse_chunk_feed(
+        mesh, post_ids, post_wvals, sparse_comb_host, col_sh
+    )
 
     def put_chunk(i):
         lo = i * chunk_size
         hi = min(n, lo + chunk_size)
-        cq = docs_q_host[lo:hi]  # memmap slices: local shard rows only
-        cs = np.asarray(scales_host[lo:hi], np.float32)
-        target = chunk_size if n_chunks > 1 else -(-(hi - lo) // n_shards) * n_shards
-        if hi - lo < target:
-            pad = target - (hi - lo)
-            cq = np.pad(np.asarray(cq), ((0, pad), (0, 0)))
-            cs = np.pad(cs, (0, pad))
-        if post_ids is not None:
-            sparse = (jax.device_put(post_ids - lo), jax.device_put(post_wvals))
-        else:
-            sp = np.asarray(sparse_comb_host[:, lo:hi], np.float32)
-            if sp.shape[1] < target:
-                sp = np.pad(sp, ((0, 0), (0, target - sp.shape[1])))
-            sparse = (jax.device_put(sp, col_sh),)
+        target = _stream_tail_target(lo, hi, chunk_size, n_chunks, n_shards)
+        cq, cs = _stream_row_chunk(
+            (docs_q_host, scales_host), (None, np.float32), lo, hi, target
+        )
         return (
-            (jax.device_put(cq, row_sh), jax.device_put(cs, row_sh), *sparse),
+            (jax.device_put(cq, row_sh), jax.device_put(cs, row_sh),
+             *sparse_feed(lo, hi, target)),
             lo,
             hi - lo,
         )

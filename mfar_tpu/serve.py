@@ -117,6 +117,8 @@ class MultihostEngineProxy:
     def retrieve(self, queries, top_k: int = 100, mode: Optional[str] = None):
         queries = [str(q) for q in queries]
         real = len(queries)
+        if real == 0:
+            return []  # nothing to broadcast (padding would index queries[-1])
         if real < self.max_batch:
             queries = queries + [queries[-1]] * (self.max_batch - real)
         with self._lock:

@@ -109,6 +109,32 @@ def test_distributed_topk_approx_mode(mesh, data):
     np.testing.assert_array_equal(np.asarray(i_ap), np.asarray(i_ex))
 
 
+def test_make_mesh_warns_on_slice_replica_mismatch():
+    """A real multi-slice topology whose slice count != n_replica must say
+    loudly that the data axis will span DCN (the old silent reshape hid an
+    order-of-magnitude collective slowdown)."""
+
+    class FakeDev:
+        def __init__(self, i):
+            self.slice_index = i // 2  # 4 "slices" of 2 devices
+            self.id = i
+
+    devs = [FakeDev(i) for i in range(8)]
+    with pytest.warns(UserWarning, match="physical slices"):
+        try:
+            make_mesh(n_replica=2, devices=devs)
+        except Exception:
+            pass  # fake devices cannot build a real Mesh; the warning fired
+
+    # Virtual/single-slice devices (all slice 0) stay silent: that is the
+    # conftest CPU-mesh case the fallback exists for.
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        make_mesh(n_replica=2, devices=jax.devices()[:8])
+
+
 def test_multislice_mesh_topk():
     """Corpus sharded over ('replica', 'data') -- the multi-slice layout
     where only [B, k] merges cross slices -- matches the exact result."""

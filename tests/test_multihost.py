@@ -254,7 +254,7 @@ def test_two_process_retrieve_topologies(world_retrieve, tmp_path, name, extra, 
                               port, extra=extra)
 
     # Routing: the expected serving program ran (worker stdout marker).
-    assert any(f"[serve-path] {marker}" in t or marker in t for t in texts), (
+    assert any(f"[serve-path] {marker}" in t for t in texts), (
         f"expected serve-path marker {marker!r} in worker output:\n"
         + texts[0][-2000:]
     )
