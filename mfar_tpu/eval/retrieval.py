@@ -881,24 +881,63 @@ class RetrievalEngine:
             self._note_path("mesh-int8-hybrid-combined")
             return ("device", top_s, top_i)
 
-        # Remaining paths: sparse-only corpora and the single-chip int8
-        # engines (mesh int8 dense falls through to the sparse_comb=None
-        # branch below).
+        # Single-chip int8 serving: the same ONE-jitted-program fusion over
+        # the quantized corpus (weights + fold + per-posting weight gather +
+        # scatter + quantized scan).  Before round 4 this configuration paid
+        # the eager weight/fold dispatches the fp path eliminated in round 3
+        # -- the int8 engine e2e trailed bf16 despite a 1.7x faster op.
+        if self.mesh is None and self.docs_q is not None and self.has_dense:
+            from mfar_tpu.ops.scoring import (
+                fused_dense_topk_from_query_int8,
+                fused_hybrid_topk_postings_from_query_int8,
+                hybrid_topk_chunked_int8,
+            )
+
+            W = self.mixer_params["weight"]
+            mask_arr = None if self.mask is None else jnp.asarray(self.mask, jnp.float32)
+            if self.sparse_keys:
+                cleaned = [clean_query(t) for t in queries]
+                raw = self._sparse_postings_raw(cleaned)
+                if raw is not None:
+                    ids, vals, fidx = raw
+                    top_s, top_i = fused_hybrid_topk_postings_from_query_int8(
+                        q, W, mask_arr, self.docs_q, self.doc_scales,
+                        jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(fidx),
+                        jnp.int32(self.n_docs), fd, k, chunk_size=chunk,
+                    )
+                    self._note_path("singlechip-int8-hybrid-postings")
+                    return ("device", top_s, top_i)
+                # postings denser than the corpus: host-combined fallback
+                # (same rule as the fp path -- [B, N] is the cheaper form)
+                weights = self._field_weights(q)
+                weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+                sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
+                qflat = fold_queries(q, weights[:, :fd])
+                top_s, top_i = hybrid_topk_chunked_int8(
+                    qflat.astype(jnp.float32), self.docs_q, self.doc_scales,
+                    jnp.asarray(sparse_comb), jnp.int32(self.n_docs),
+                    k=k, chunk_size=chunk,
+                )
+                self._note_path("singlechip-int8-hybrid-combined")
+                return ("device", top_s, top_i)
+            top_s, top_i = fused_dense_topk_from_query_int8(
+                q, W, mask_arr, self.docs_q, self.doc_scales,
+                jnp.int32(self.n_docs), fd, k, chunk_size=chunk,
+                exact=self.dense_topk != "approx",
+            )
+            self._note_path("singlechip-int8-dense")
+            return ("device", top_s, top_i)
+
+        # Remaining paths: sparse-only corpora and the mesh int8 dense
+        # engine (every hybrid or single-chip configuration with dense
+        # fields returned from one of the fused blocks above).
         weights = self._field_weights(q)
         weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
 
-        sparse_comb = None
-        if self.sparse_keys:
-            cleaned = [clean_query(t) for t in queries]
-            if self.mesh is None and self.has_dense:
-                # int8 single-chip hybrid: device scatter densification
-                sparse_comb = self._sparse_comb_device(cleaned, weights)
-            else:
-                # sparse-only corpora score fully on host
-                sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
-
         if not self.has_dense:
-            # sparse-only corpus: the combined scores ARE the totals
+            # sparse-only corpus: host scores ARE the totals
+            cleaned = [clean_query(t) for t in queries]
+            sparse_comb = self._sparse_full_scores(cleaned, np.asarray(weights))
             total = sparse_comb[:, : self.n_docs]
             part = np.argpartition(-total, k - 1, axis=1)[:, :k]
             part_s = np.take_along_axis(total, part, axis=1)

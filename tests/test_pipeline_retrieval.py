@@ -229,8 +229,10 @@ def test_engine_handles_non_chunk_multiple_corpus(monkeypatch):
 def test_int8_engine_honors_approx_selection(world, engine, monkeypatch):
     """dense_topk='approx' must reach the int8 kernel as exact=False (it
     was silently hardcoded to the exact per-chunk sort)."""
-    from mfar_tpu.eval import retrieval as rmod
-    from mfar_tpu.ops.scoring import dense_topk_chunked_approx_int8 as real_i8
+    from mfar_tpu.ops import scoring as smod
+
+    real_i8 = smod.fused_dense_topk_from_query_int8  # the fused single-chip
+    # int8 program (imported at dispatch time, so the patch takes)
 
     w = world
     eng, matrix, mixer = engine
@@ -240,7 +242,7 @@ def test_int8_engine_honors_approx_selection(world, engine, monkeypatch):
         seen["exact"] = kwargs.get("exact")
         return real_i8(*args, **kwargs)
 
-    monkeypatch.setattr(rmod, "dense_topk_chunked_approx_int8", spy)
+    monkeypatch.setattr(smod, "fused_dense_topk_from_query_int8", spy)
     eng8 = RetrievalEngine(
         field_info=eng.field_info,
         doc_keys=eng.doc_keys,

@@ -540,6 +540,31 @@ def test_mesh_engine_hybrid_int8_routes_postings(world, monkeypatch):
     assert calls, "int8 mesh hybrid did not use the fused postings program"
 
 
+def test_singlechip_int8_routes_fused(world):
+    """Single-chip int8 serving rides the ONE-jitted fused programs (the
+    eager weight/fold dispatches between the encode jit and the scan jit
+    made int8 e2e slower than bf16 despite a 1.7x faster op)."""
+    w = world
+    eng = make_engine(w, quantize="int8")
+    eng.retrieve(list(w["queries"].values())[:3], top_k=5, mode="exact")
+    assert eng.last_serve_path == "singlechip-int8-hybrid-postings"
+
+    dense_fi = {k: f for k, f in w["field_info"].items() if f.is_dense}
+    eng_d = RetrievalEngine(
+        field_info=dense_fi,
+        doc_keys=list(w["corpus"].keys()),
+        encode_fn=w["encode_fn"],
+        tokenizer=w["tok"],
+        mixer_params={"weight": w["mixer"]["weight"][:, :2]},
+        dense_matrix=w["matrix"],
+        sparse_indices={},
+        query_max_length=64,
+        quantize="int8",
+    )
+    eng_d.retrieve(list(w["queries"].values())[:3], top_k=5, mode="exact")
+    assert eng_d.last_serve_path == "singlechip-int8-dense"
+
+
 @pytest.mark.parametrize(
     "mesh_on,int8", [(True, False), (False, True), (True, True)]
 )
