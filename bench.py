@@ -10,6 +10,8 @@ op alone doesn't show:
   end-to-end (tokenize + encode + fold + fused top-k + id mapping; hybrid
   additionally streams BM25 postings and densifies on device) over a 1M-doc
   corpus with a contriever-base-shape encoder;
+- engine_dense_int8_qps: the same e2e with the int8 capacity engine (on-
+  device quantization + the fused single-chip int8 serving program);
 - topk_b512_qps: the fused op at B=512 with ids (the round-1 cliff);
 - train_step_ms: mag all_dense-shape step (contriever-base, B=24, remat,
   rbg, attention-dropout 0, bf16 softmax -- the recommended flags);
@@ -162,7 +164,7 @@ def engine_world(docs, num_layers: int = 12, hidden: int = 768):
     return dict(rng=rng, warr=warr, tok=tok, encode=encode, emb=hidden)
 
 
-def make_engine(docs, world, hybrid: bool):
+def make_engine(docs, world, hybrid: bool, quantize=None):
     import numpy as np
 
     import jax.numpy as jnp
@@ -191,6 +193,7 @@ def make_engine(docs, world, hybrid: bool):
         sparse_indices=sparse_indices,
         query_max_length=64,
         recall_k=K,
+        quantize=quantize,
     )
 
 
@@ -427,6 +430,11 @@ def main():
                 eng.dense_topk = "exact"
         section("engine_dense_approx_qps", _approx_qps)
         dense_engine.clear()
+        # int8 capacity engine e2e (quantizes the device corpus on device,
+        # ~1.4 s at N=1M; rides the round-4 fused single-chip int8 program)
+        section("engine_dense_int8_qps",
+                lambda: engine_qps(make_engine(docs, world, False, "int8"),
+                                   world, 256, "exact"))
         hybrid_engine = []  # built once, measured in both serving modes
         def get_hybrid():
             if not hybrid_engine:

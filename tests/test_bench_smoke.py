@@ -30,6 +30,8 @@ def test_engine_sections_dense_and_hybrid():
     world = bench.engine_world(docs, num_layers=2, hidden=bench.E)
     dense = bench.make_engine(docs, world, hybrid=False)
     assert bench.engine_qps(dense, world, 8, "exact") > 0
+    dense_i8 = bench.make_engine(docs, world, hybrid=False, quantize="int8")
+    assert bench.engine_qps(dense_i8, world, 8, "exact") > 0
     hybrid = bench.make_engine(docs, world, hybrid=True)
     assert bench.engine_qps(hybrid, world, 8, "exact") > 0
     assert bench.engine_qps(hybrid, world, 8, "rerank") > 0
