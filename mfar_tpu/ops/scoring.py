@@ -1072,3 +1072,369 @@ def fused_hybrid_topk_postings_from_query_int8(
         qflat, docs_q, doc_scales, sparse_comb, valid_n, k=k,
         chunk_size=chunk_size,
     )
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free hybrid retrieval (bucketed postings, gather-based candidates)
+# ---------------------------------------------------------------------------
+#
+# XLA's TPU scatter is the slowest op in the hybrid serving program: the
+# [B, N] densification scatter-add measured 14.3 ms/batch at B=64, M=16K,
+# N=1M -- a third of the whole 42 ms on-chip hybrid scan -- and sorted
+# indices only shave 7% (benchmarks/exp_scatter.py).  These ops remove the
+# scatter ENTIRELY using a candidate-set argument:
+#
+#   BM25 impacts and post-softmax field weights are NON-NEGATIVE, so
+#   hybrid(d) = dense(d) + sparse(d) with sparse(d) >= 0, and the true
+#   hybrid top-k is contained in (global dense top-k) UNION (docs with a
+#   posting).  Proof for a no-posting doc d in the hybrid top-k: fewer
+#   than k docs have hybrid > hybrid(d) = dense(d); every doc with
+#   dense > dense(d) is such a doc (its hybrid >= its dense); so d is in
+#   the dense top-k.  Posting docs are their own candidate list.
+#
+# The chunked scan therefore keeps the pure-dense fast path (matmul +
+# exact_topk_rows) and adds, per chunk, GATHER-based candidates for the
+# chunk's posting docs: postings arrive pre-sorted and pre-bucketed per
+# chunk ([B, n_chunks, Mc], bucket_postings_np), duplicates (a doc hit by
+# several terms/fields) are combined by a vectorized segmented sum over
+# the sorted ids (cumsum + reverse-cummin run boundaries -- VPU scans, no
+# scatter), and each run-start position contributes one candidate
+# dense[d] + sparse_total(d) read straight out of the chunk's score tile.
+#
+# A doc with postings can surface twice -- once in a chunk's dense top-k
+# at its dense-only score and once as a posting candidate at its (>=)
+# hybrid score -- so the scan carries 2k entries (each doc contributes at
+# most 2, hence all entries >= the true k-th value fit) and a final
+# sort-based dedup keeps the best entry per doc before cutting to k.
+# Same tie semantics as exact_topk_rows: VALUES are exact; among equal
+# values the surviving doc may differ from a full sort's.
+#
+# MEASURED NEGATIVE RESULT (round 4, TPU v5): the scatter path stays the
+# serving default.  At the engine shape (single 1M-row tile, B=64,
+# M=16K) the fused scatter program runs 40.5 ms/batch vs 56.8 for this
+# path; at 128K chunks, 58 vs 137 ms (benchmarks/exp_hybrid_gather.py;
+# identical checksums -- exactness held on chip).  Two findings explain
+# it (benchmarks/exp_gather_parts.py, exp_gather_bisect.py): (1) XLA's
+# TPU gather randomly accesses ~85M elem/s -- barely faster than its
+# scatter's ~73M/s, so trading the scatter for an equal-count gather
+# buys nothing; (2) the cumsum/cummin segment machinery measures ~0.1 ms
+# isolated but ~65 ms inside the scan program (layout/fusion
+# interference; an optimization_barrier on the score tile does not fix
+# it).  The ops stay because the capacity story differs: this path never
+# materializes the [B, N] densified tensor (1 GiB at B=256, N=1M), and
+# on hardware where gather outruns scatter the same candidate-set
+# construction stands ready.
+
+
+def bucket_postings_np(
+    ids, vals, fields, n: int, chunk_size: int, pad_multiple: int = 128
+):
+    """Host-side prep for the scatter-free hybrid scan: per-row sort the
+    concatenated query-term postings by corpus row and split them into
+    per-chunk buckets ``[B, n_chunks, Mc]`` aligned with a ``chunk_size``
+    corpus scan over ``n`` rows.
+
+    Padding postings (val == 0 -- real BM25 impacts are strictly
+    positive) and bucket tail slots carry the sentinel id ``n``, which is
+    out of every chunk's range; the device op zeroes their contribution.
+    ``Mc`` is the geometric bucket (native.bucket_width) of the largest
+    per-(row, chunk) posting count, so compiled-program count stays
+    ~log2-bounded exactly like the flat postings feed."""
+    import numpy as np
+
+    from mfar_tpu.native import bucket_width
+
+    ids = np.asarray(ids)
+    vals = np.asarray(vals, np.float32)
+    fields = np.asarray(fields)
+    b, _ = ids.shape
+    num_full, tail_len = divmod(n, chunk_size)
+    nch = max(num_full + (1 if tail_len else 0), 1)
+    ids_eff = np.where(vals != 0, ids, n).astype(np.int64)
+    order = np.argsort(ids_eff, axis=1, kind="stable")
+    ids_s = np.take_along_axis(ids_eff, order, axis=1)
+    vals_s = np.take_along_axis(vals, order, axis=1)
+    f_s = np.take_along_axis(fields, order, axis=1)
+    edges = np.minimum(np.arange(1, nch + 1) * chunk_size, n)
+    bounds = np.zeros((b, nch + 1), np.int64)
+    for r in range(b):
+        bounds[r, 1:] = np.searchsorted(ids_s[r], edges, side="left")
+    counts = np.diff(bounds, axis=1)
+    mc = bucket_width(int(counts.max()) if counts.size else 1, pad_multiple)
+    out_ids = np.full((b, nch, mc), n, np.int32)
+    out_vals = np.zeros((b, nch, mc), np.float32)
+    out_f = np.zeros((b, nch, mc), fields.dtype)
+    for r in range(b):
+        for ch in range(nch):
+            s0, s1 = bounds[r, ch], bounds[r, ch + 1]
+            if s1 > s0:
+                out_ids[r, ch, : s1 - s0] = ids_s[r, s0:s1]
+                out_vals[r, ch, : s1 - s0] = vals_s[r, s0:s1]
+                out_f[r, ch, : s1 - s0] = f_s[r, s0:s1]
+    return out_ids, out_vals, out_f
+
+
+def _posting_candidates(s, bids, bwv, offset):
+    """Hybrid candidates for one chunk's posting docs, no scatter.
+
+    ``s`` [B, c] chunk dense scores (already -inf past valid_n); ``bids``
+    [B, Mc] SORTED global corpus rows (sentinel >= n for padding); ``bwv``
+    [B, Mc] weighted impacts (0 at padding).  Returns (cand_s, cand_i)
+    [B, Mc] with one finite entry per distinct in-chunk doc (run starts)
+    holding dense + segmented-sum(sparse); everything else -inf."""
+    b, c = s.shape
+    mc = bids.shape[1]
+    rel_raw = bids - offset
+    in_rng = (rel_raw >= 0) & (rel_raw < c)
+    rel = jnp.clip(rel_raw, 0, c - 1)
+    wv = jnp.where(in_rng, bwv, 0.0).astype(jnp.float32)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (b, mc), 1)
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -1, rel.dtype), rel[:, :-1]], axis=1
+    )
+    is_start = rel != prev
+    csum = jnp.concatenate(
+        [jnp.zeros((b, 1), jnp.float32), jnp.cumsum(wv, axis=1)], axis=1
+    )
+    # next run start after each position: reverse cummin of start
+    # positions, shifted left one (clip preserves sortedness: padding
+    # sentinels clip to c-1 at the tail)
+    starts = jnp.where(is_start, pos, mc)
+    nxt_incl = jax.lax.cummin(starts, axis=1, reverse=True)
+    nxt = jnp.concatenate(
+        [nxt_incl[:, 1:], jnp.full((b, 1), mc, jnp.int32)], axis=1
+    )
+    seg = jnp.take_along_axis(csum, nxt, axis=1) - jnp.take_along_axis(
+        csum, pos, axis=1
+    )
+    g = jnp.take_along_axis(s, rel, axis=1)
+    cand_s = jnp.where(is_start, g + seg, -jnp.inf)
+    return cand_s, offset + rel
+
+
+def _union_topk(top_s, top_i, cand_s, cand_i, kk):
+    all_s = jnp.concatenate([top_s, cand_s], axis=1)
+    all_i = jnp.concatenate([top_i, cand_i], axis=1)
+    s2, sel = jax.lax.top_k(all_s, min(kk, all_s.shape[1]))
+    return _pad_topk(s2, jnp.take_along_axis(all_i, sel, axis=1), kk)
+
+
+def _dedup_topk(top_s, top_i, k):
+    """Keep the best-scoring entry per doc id, then cut to k.  Two stable
+    argsorts (score desc, then id) group duplicates with the best entry
+    first; non-first entries drop to -inf before the final top_k."""
+    o1 = jnp.argsort(-top_s, axis=1)
+    s1 = jnp.take_along_axis(top_s, o1, axis=1)
+    i1 = jnp.take_along_axis(top_i, o1, axis=1)
+    o2 = jnp.argsort(i1, axis=1)
+    s2 = jnp.take_along_axis(s1, o2, axis=1)
+    i2 = jnp.take_along_axis(i1, o2, axis=1)
+    prev = jnp.concatenate([jnp.full_like(i2[:, :1], -1), i2[:, :-1]], axis=1)
+    s2 = jnp.where(i2 == prev, -jnp.inf, s2)
+    fs, sel = jax.lax.top_k(s2, k)
+    return fs, jnp.take_along_axis(i2, sel, axis=1)
+
+
+def _hybrid_topk_buckets_impl(
+    dense_chunk_scores, corpus_arrays_axes, bucket_ids, bucket_wvals,
+    valid_n, k, chunk_size, n,
+):
+    """Shared driver for the fp/int8 bucketed hybrid ops.
+
+    ``dense_chunk_scores(*chunk_slices) -> [B, c]`` computes one chunk's
+    dense scores; ``corpus_arrays_axes`` mirrors _stream_chunked_topk.
+    Carries 2k entries through the scan (see module comment), dedups at
+    the end."""
+    kk = 2 * k
+
+    def masked_scores(chunk_arrays, offset):
+        s = dense_chunk_scores(*chunk_arrays)
+        c = s.shape[1]
+        idx = offset + jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+        return jnp.where(idx < valid_n, s, -jnp.inf)
+
+    def chunk_union(chunk_arrays, bids, bwv, offset):
+        s = masked_scores(chunk_arrays, offset)
+        c = s.shape[1]
+        top_s, sel = exact_topk_rows(s, min(k, c))
+        top_s, top_i = _pad_topk(top_s, offset + sel, k)
+        cand_s, cand_i = _posting_candidates(s, bids, bwv, offset)
+        return _union_topk(top_s, top_i, cand_s, cand_i, kk)
+
+    num_full, tail = divmod(n, chunk_size)
+    if n <= chunk_size:
+        assert bucket_ids.shape[1] == 1, (
+            f"single-chunk scan but postings bucketed for "
+            f"{bucket_ids.shape[1]} chunks (n={n}, chunk_size={chunk_size})"
+        )
+        out = chunk_union(
+            tuple(x for x, _ in corpus_arrays_axes),
+            bucket_ids[:, 0], bucket_wvals[:, 0], jnp.int32(0),
+        )
+        return _dedup_topk(*out, k)
+    assert k <= chunk_size, "top-k carry must fit in one chunk"
+    nch = num_full + (1 if tail else 0)
+    assert bucket_ids.shape[1] == nch, (
+        f"postings bucketed for {bucket_ids.shape[1]} chunks but the scan "
+        f"has {nch} (n={n}, chunk_size={chunk_size})"
+    )
+
+    def cut(x, ax, start, stop):
+        idx = [slice(None)] * x.ndim
+        idx[ax] = slice(start, stop)
+        return x[tuple(idx)]
+
+    def to_chunks(x, ax):
+        head = cut(x, ax, 0, num_full * chunk_size)
+        shape = head.shape[:ax] + (num_full, chunk_size) + head.shape[ax + 1:]
+        return jnp.moveaxis(head.reshape(shape), ax, 0)
+
+    chunked = tuple(to_chunks(x, ax) for x, ax in corpus_arrays_axes)
+    bids_ch = jnp.moveaxis(bucket_ids[:, :num_full], 1, 0)
+    bwv_ch = jnp.moveaxis(bucket_wvals[:, :num_full], 1, 0)
+    offsets = jnp.arange(num_full, dtype=jnp.int32) * chunk_size
+
+    def step(carry, inp):
+        bids, bwv, offset = inp[-3:]
+        return _merge_topk(
+            carry, chunk_union(inp[:-3], bids, bwv, offset), kk
+        ), None
+
+    init = chunk_union(
+        tuple(x[0] for x in chunked), bids_ch[0], bwv_ch[0], offsets[0]
+    )
+    out, _ = jax.lax.scan(
+        step, init,
+        tuple(x[1:] for x in chunked)
+        + (bids_ch[1:], bwv_ch[1:], offsets[1:]),
+    )
+    if tail:
+        tail_out = chunk_union(
+            tuple(
+                cut(x, ax, num_full * chunk_size, n)
+                for x, ax in corpus_arrays_axes
+            ),
+            bucket_ids[:, num_full], bucket_wvals[:, num_full],
+            jnp.int32(num_full * chunk_size),
+        )
+        out = _merge_topk(out, tail_out, kk)
+    return _dedup_topk(*out, k)
+
+
+@partial(jax.jit, static_argnames=("k", "chunk_size"))
+def hybrid_topk_buckets(
+    qflat: jax.Array,  # [B, F*E] folded queries (dense fields)
+    docs_flat: jax.Array,  # [N, F*E]
+    bucket_ids: jax.Array,  # [B, nch, Mc] sorted in-chunk rows (sentinel n)
+    bucket_wvals: jax.Array,  # [B, nch, Mc] weighted impacts >= 0 (0 pad)
+    valid_n: jax.Array,
+    k: int,
+    chunk_size: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:
+    """EXACT scatter-free hybrid top-k (see module comment above
+    :func:`bucket_postings_np`).  Ranking-identical to
+    :func:`hybrid_topk_chunked` fed the scatter-densified [B, N] tensor of
+    the same postings, without ever materializing it -- requires
+    non-negative weighted impacts (BM25 impacts x post-softmax weights)."""
+    n = docs_flat.shape[0]
+
+    def dense(chunk_docs):
+        return jnp.dot(qflat, chunk_docs.T, preferred_element_type=jnp.float32)
+
+    return _hybrid_topk_buckets_impl(
+        dense, ((docs_flat, 0),), bucket_ids, bucket_wvals,
+        valid_n, k, chunk_size, n,
+    )
+
+
+@partial(jax.jit, static_argnames=("k", "chunk_size"))
+def hybrid_topk_buckets_int8(
+    qflat: jax.Array,  # [B, F*E] folded queries (any float dtype)
+    docs_q: jax.Array,  # [N, F*E] int8 corpus (quantize_rows_int8)
+    doc_scales: jax.Array,  # [N] f32 per-row scales
+    bucket_ids: jax.Array,
+    bucket_wvals: jax.Array,
+    valid_n: jax.Array,
+    k: int,
+    chunk_size: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 twin of :func:`hybrid_topk_buckets` (sparse scores stay f32;
+    the only deviation from fp hybrid is the dense-side quantization)."""
+    q8, q_scale = quantize_rows_int8(qflat)
+    n = docs_q.shape[0]
+
+    def dense(chunk_docs, chunk_scales):
+        s = jnp.dot(
+            q8, chunk_docs.T, preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+        return s * q_scale[:, None] * chunk_scales[None, :]
+
+    return _hybrid_topk_buckets_impl(
+        dense, ((docs_q, 0), (doc_scales, 0)), bucket_ids, bucket_wvals,
+        valid_n, k, chunk_size, n,
+    )
+
+
+def _bucket_weighted_vals(weights, bucket_vals, bucket_field, num_dense):
+    """Per-posting field-weight gather on the bucketed layout: each posting
+    multiplies its RAW impact by its sparse field's post-softmax weight
+    in-program (padding gathers field 0's weight against a 0 impact)."""
+    b, nch, mc = bucket_vals.shape
+    w_sparse = jnp.take_along_axis(
+        weights,
+        num_dense + bucket_field.reshape(b, nch * mc).astype(jnp.int32),
+        axis=1,
+    ).reshape(b, nch, mc)
+    return bucket_vals * w_sparse
+
+
+@partial(jax.jit, static_argnames=("num_dense", "k", "chunk_size"))
+def fused_hybrid_topk_buckets_from_query(
+    q: jax.Array,  # [B, E]
+    W: jax.Array,
+    mask: Optional[jax.Array],
+    docs_flat: jax.Array,  # [N, Fd*E]
+    bucket_ids: jax.Array,  # [B, nch, Mc] (bucket_postings_np)
+    bucket_vals: jax.Array,  # [B, nch, Mc] RAW impacts
+    bucket_field: jax.Array,  # [B, nch, Mc] sparse-field index (int8 ok)
+    valid_n: jax.Array,
+    num_dense: int,
+    k: int,
+    chunk_size: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter-free twin of :func:`fused_hybrid_topk_postings_from_query`:
+    weights -> fold -> per-posting weight gather -> bucketed gather-based
+    hybrid scan, one jit, no [B, N] densification anywhere."""
+    weights = softmax_field_weights(W, q, mask)
+    weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+    qflat = fold_queries(q, weights[:, :num_dense]).astype(docs_flat.dtype)
+    bwv = _bucket_weighted_vals(weights, bucket_vals, bucket_field, num_dense)
+    return hybrid_topk_buckets(
+        qflat, docs_flat, bucket_ids, bwv, valid_n, k=k, chunk_size=chunk_size
+    )
+
+
+@partial(jax.jit, static_argnames=("num_dense", "k", "chunk_size"))
+def fused_hybrid_topk_buckets_from_query_int8(
+    q: jax.Array,  # [B, E]
+    W: jax.Array,
+    mask: Optional[jax.Array],
+    docs_q: jax.Array,  # [N, Fd*E] int8 corpus
+    doc_scales: jax.Array,  # [N] f32 per-row scales
+    bucket_ids: jax.Array,
+    bucket_vals: jax.Array,
+    bucket_field: jax.Array,
+    valid_n: jax.Array,
+    num_dense: int,
+    k: int,
+    chunk_size: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:
+    """int8 twin of :func:`fused_hybrid_topk_buckets_from_query`."""
+    weights = softmax_field_weights(W, q, mask)
+    weights = jnp.broadcast_to(weights, (q.shape[0], weights.shape[-1]))
+    qflat = fold_queries(q, weights[:, :num_dense]).astype(jnp.float32)
+    bwv = _bucket_weighted_vals(weights, bucket_vals, bucket_field, num_dense)
+    return hybrid_topk_buckets_int8(
+        qflat, docs_q, doc_scales, bucket_ids, bwv, valid_n, k=k,
+        chunk_size=chunk_size,
+    )

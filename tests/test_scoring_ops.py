@@ -322,3 +322,155 @@ def test_topk_chunk_budget():
     assert c512 == (1 << 30) // (4 * 512)  # 524288, already floor-multiple
     assert R.topk_chunk(n, 4096) == R.TOPK_CHUNK  # budget below the floor
     assert R.topk_chunk(64, 8) == 64  # tiny corpus: one shot
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free bucketed hybrid (gather-based candidates)
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_case(seed, b=4, e=16, fd=3, fs=2, n=1000, m=96):
+    """Random fused-hybrid inputs with duplicate docs across fields and a
+    padded tail (val==0, id 0 -- the engine's flat-feed convention)."""
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(b, e)).astype(np.float32)
+    W = rng.normal(size=(e, fd + fs)).astype(np.float32)
+    docs = rng.normal(size=(n, fd * e)).astype(np.float32)
+    ids = rng.integers(0, n, size=(b, m)).astype(np.int32)
+    vals = rng.uniform(0.1, 2.0, size=(b, m)).astype(np.float32)
+    fidx = rng.integers(0, fs, size=(b, m)).astype(np.int8)
+    npad = m // 3
+    ids[:, -npad:] = 0
+    vals[:, -npad:] = 0.0
+    fidx[:, -npad:] = 0
+    valid_n = np.int32(n - 7)
+    ids = np.minimum(ids, valid_n - 1)
+    return q, W, docs, ids, vals, fidx, valid_n
+
+
+@pytest.mark.parametrize("chunk", [256, 2048])  # ragged-tail scan / 1 chunk
+def test_bucketed_hybrid_matches_scatter_path(chunk):
+    from mfar_tpu.ops.scoring import (
+        bucket_postings_np,
+        fused_hybrid_topk_buckets_from_query,
+        fused_hybrid_topk_postings_from_query,
+    )
+
+    q, W, docs, ids, vals, fidx, valid_n = _hybrid_case(1)
+    n, fd, k = docs.shape[0], 3, 10
+    ref_s, ref_i = fused_hybrid_topk_postings_from_query(
+        jnp.asarray(q), jnp.asarray(W), None, jnp.asarray(docs),
+        jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(fidx),
+        jnp.int32(valid_n), fd, k, chunk_size=chunk,
+    )
+    bk = bucket_postings_np(ids, vals, fidx, n, chunk)
+    new_s, new_i = fused_hybrid_topk_buckets_from_query(
+        jnp.asarray(q), jnp.asarray(W), None, jnp.asarray(docs),
+        *(jnp.asarray(x) for x in bk),
+        jnp.int32(valid_n), fd, k, chunk_size=chunk,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_s), np.asarray(new_s), atol=1e-4
+    )
+    assert (np.asarray(ref_i) == np.asarray(new_i)).all()
+
+
+def test_bucketed_hybrid_int8_matches_scatter_path():
+    from mfar_tpu.ops.scoring import (
+        bucket_postings_np,
+        fused_hybrid_topk_buckets_from_query_int8,
+        fused_hybrid_topk_postings_from_query_int8,
+        quantize_rows_int8,
+    )
+
+    q, W, docs, ids, vals, fidx, valid_n = _hybrid_case(2)
+    n, fd, k, chunk = docs.shape[0], 3, 10, 256
+    dq, ds = quantize_rows_int8(jnp.asarray(docs))
+    ref_s, ref_i = fused_hybrid_topk_postings_from_query_int8(
+        jnp.asarray(q), jnp.asarray(W), None, dq, ds,
+        jnp.asarray(ids), jnp.asarray(vals), jnp.asarray(fidx),
+        jnp.int32(valid_n), fd, k, chunk_size=chunk,
+    )
+    bk = bucket_postings_np(ids, vals, fidx, n, chunk)
+    new_s, new_i = fused_hybrid_topk_buckets_from_query_int8(
+        jnp.asarray(q), jnp.asarray(W), None, dq, ds,
+        *(jnp.asarray(x) for x in bk),
+        jnp.int32(valid_n), fd, k, chunk_size=chunk,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref_s), np.asarray(new_s), atol=1e-4
+    )
+    assert (np.asarray(ref_i) == np.asarray(new_i)).all()
+
+
+def test_bucketed_hybrid_no_duplicate_docs_in_topk():
+    """A doc can enter a chunk's union twice (dense entry + posting
+    candidate); the final dedup must keep exactly one entry per doc."""
+    from mfar_tpu.ops.scoring import (
+        bucket_postings_np,
+        fused_hybrid_topk_buckets_from_query,
+    )
+
+    q, W, docs, ids, vals, fidx, valid_n = _hybrid_case(3)
+    # concentrate postings on few docs so posting docs saturate the top-k
+    ids = (ids % 13).astype(np.int32)
+    bk = bucket_postings_np(ids, vals, fidx, docs.shape[0], 256)
+    _, top_i = fused_hybrid_topk_buckets_from_query(
+        jnp.asarray(q), jnp.asarray(W), None, jnp.asarray(docs),
+        *(jnp.asarray(x) for x in bk),
+        jnp.int32(valid_n), 3, 10, chunk_size=256,
+    )
+    top_i = np.asarray(top_i)
+    for row in top_i:
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_bucketed_hybrid_all_padding_rows():
+    """A query with NO postings (all-padding bucket row) must reduce to
+    pure dense ranking."""
+    from mfar_tpu.ops.scoring import (
+        bucket_postings_np,
+        fused_dense_topk_from_query,
+        fused_hybrid_topk_buckets_from_query,
+    )
+
+    q, W, docs, ids, vals, fidx, valid_n = _hybrid_case(4, fs=1)
+    vals[:] = 0.0  # everything padding
+    bk = bucket_postings_np(ids, vals, fidx, docs.shape[0], 256)
+    hyb_s, hyb_i = fused_hybrid_topk_buckets_from_query(
+        jnp.asarray(q), jnp.asarray(W), None, jnp.asarray(docs),
+        *(jnp.asarray(x) for x in bk),
+        jnp.int32(valid_n), 3, 10, chunk_size=256,
+    )
+    # dense-only comparison uses the same mixer but no sparse field mass:
+    # mask the sparse field so softmax weights match the hybrid program's
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    den_s, den_i = fused_dense_topk_from_query(
+        jnp.asarray(q), jnp.asarray(W), mask, jnp.asarray(docs),
+        jnp.int32(valid_n), 3, 10, chunk_size=256, approx=False,
+    )
+    # sparse weight still takes softmax mass in the hybrid program, so
+    # compare RANKINGS (scores differ by the fold's weight scaling)
+    assert (np.asarray(hyb_i) == np.asarray(den_i)).all()
+
+
+def test_bucket_postings_np_layout():
+    from mfar_tpu.native import bucket_width
+    from mfar_tpu.ops.scoring import bucket_postings_np
+
+    ids = np.array([[5, 900, 5, 0, 0], [100, 101, 102, 103, 104]], np.int32)
+    vals = np.array(
+        [[1.0, 2.0, 3.0, 0.0, 0.0], [1, 1, 1, 1, 1]], np.float32
+    )
+    fidx = np.zeros_like(ids, dtype=np.int8)
+    b_ids, b_vals, b_f = bucket_postings_np(ids, vals, fidx, 1000, 256)
+    assert b_ids.shape == (2, 4, bucket_width(5))
+    # row 0: doc 5 twice (sorted adjacent) in chunk 0, doc 900 in chunk 3;
+    # padding (val==0) dropped entirely, slots carry the sentinel id n
+    assert b_ids[0, 0, 0] == 5 and b_ids[0, 0, 1] == 5
+    assert b_ids[0, 0, 2] == 1000
+    assert b_ids[0, 3, 0] == 900
+    assert (b_vals[0, 0, :2] == [1.0, 3.0]).all()
+    # row 1: five docs all in chunk 0, sorted
+    assert (b_ids[1, 0, :5] == [100, 101, 102, 103, 104]).all()
+    assert (b_ids[1, 1:] == 1000).all()
