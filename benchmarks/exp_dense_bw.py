@@ -24,11 +24,12 @@ from mfar_tpu.ops import scoring  # noqa: E402
 
 
 def bench(fn, *args):
-    jax.block_until_ready(fn(*args))
+    # scalar float() fetch, NOT block_until_ready (relay does not block)
+    float(fn(*args))
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         times.append(time.perf_counter() - t0)
     return min(times) / Q
 

@@ -27,12 +27,14 @@ from mfar_tpu.ops import scoring  # noqa: E402
 
 
 def bench(name, fn, *args):
+    # scalar float() fetch, NOT block_until_ready: the relay does not
+    # block through block_until_ready, which silently times dispatch only
     try:
-        jax.block_until_ready(fn(*args))
+        float(fn(*args))
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            float(fn(*args))
             times.append(time.perf_counter() - t0)
         print(f"{name:>10}: {min(times) * 1e3:8.2f} ms ({NCH} chunks)",
               flush=True)
@@ -66,7 +68,8 @@ def main():
             def step(carry, inp):
                 return carry, body(*inp)
             _, ys = jax.lax.scan(step, None, xs)
-            return jax.tree.map(lambda y: y.sum(), ys)
+            return sum(jax.tree.leaves(jax.tree.map(
+                lambda y: y.sum().astype(jnp.float32), ys)))
         return run
 
     bench("gather", rep(lambda s, r: jnp.take_along_axis(s, r, axis=1)), s, rel)

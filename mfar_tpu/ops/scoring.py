@@ -1114,16 +1114,21 @@ def fused_hybrid_topk_postings_from_query_int8(
 # M=16K) the fused scatter program runs 40.5 ms/batch vs 56.8 for this
 # path; at 128K chunks, 58 vs 137 ms (benchmarks/exp_hybrid_gather.py;
 # identical checksums -- exactness held on chip).  Two findings explain
-# it (benchmarks/exp_gather_parts.py, exp_gather_bisect.py): (1) XLA's
-# TPU gather randomly accesses ~85M elem/s -- barely faster than its
-# scatter's ~73M/s, so trading the scatter for an equal-count gather
-# buys nothing; (2) the cumsum/cummin segment machinery measures ~0.1 ms
-# isolated but ~65 ms inside the scan program (layout/fusion
-# interference; an optimization_barrier on the score tile does not fix
-# it).  The ops stay because the capacity story differs: this path never
-# materializes the [B, N] densified tensor (1 GiB at B=256, N=1M), and
-# on hardware where gather outruns scatter the same candidate-set
-# construction stands ready.
+# it (benchmarks/exp_gather_bisect.py, exp_gather_parts.py with the
+# corrected scalar-fetch harness -- block_until_ready does not block
+# through the relay, so the first isolated readings were bogus):
+# (1) XLA's TPU gather random-accesses at the same ~12-14 ns/element
+# class as its scatter, so trading the scatter's B*M random writes for
+# an equal count of random reads buys nothing (+24 ms in-program at
+# B=64, Mc=4096 x 8 chunks); (2) the cumsum/cummin segment machinery
+# genuinely costs ~70 ms at [64, 4096] x 8 -- TPU cumulative ops along
+# 4K lanes are ~30M elem/s, isolated and in-program alike.  Any
+# postings-candidate scheme pays the random-access toll the scatter
+# already pays once, plus machinery -- the scatter is optimal-class for
+# this densification on this hardware.  The ops stay because the
+# capacity story differs: this path never materializes the [B, N]
+# densified tensor (1 GiB at B=256, N=1M), and on hardware where gather
+# outruns scatter the same candidate-set construction stands ready.
 
 
 def bucket_postings_np(
