@@ -4,10 +4,13 @@ Contriever-base encoder (12L/768), 5 dense fields at the mag token budgets
 (512/512/512/64/64) + 64-token query, B=24, one sparse field, remat on,
 rbg PRNG, attention dropout 0.  Usage:
 
-    python benchmarks/exp_train_step.py [full|dots|attn_out|bf16sm] [nodonate]
+    python benchmarks/exp_train_step.py [full|dots|attn_out|bf16sm] [nodonate] [bN]
 
 arg 1 picks the remat policy (or bf16 softmax with full remat); `nodonate`
-disables state donation for an A/B. Steps run back-to-back with
+disables state donation for an A/B; `bN` (e.g. ``b48``) overrides the batch
+size for throughput-mode runs (B=24 is the reference's per-GPU mag batch —
+parity posture; larger B amortizes the fixed per-step work and raises MFU
+on a dedicated chip). Steps run back-to-back with
 device-resident losses; one scalar fetch ends the timed region (relay-safe
 single-fetch timing).
 """
@@ -36,6 +39,9 @@ def main():
     from mfar_tpu.train.train_step import init_state, make_train_step
 
     B = 24
+    for a in sys.argv[1:]:
+        if a.startswith("b") and a[1:].isdigit():
+            B = int(a[1:])
     budgets = {"title_dense": 512, "abstract_dense": 512, "cites_dense": 512,
                "topic_dense": 64, "affil_dense": 64}
     config = EncoderConfig(
