@@ -11,11 +11,11 @@ engine benchmarks can't show: what the micro-batcher + HTTP frontend cost
 on top of the device scan.
 """
 
+import http.client
 import json
 import sys
 import threading
 import time
-import urllib.request
 
 
 def main():
@@ -23,6 +23,7 @@ def main():
     MAX_BATCH = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     N_CLIENTS = int(sys.argv[3]) if len(sys.argv) > 3 else 64
     SECONDS = float(sys.argv[4]) if len(sys.argv) > 4 else 20.0
+    DEPTH = int(sys.argv[5]) if len(sys.argv) > 5 else 2
     QUERIES_PER_REQ = 8
 
     import os
@@ -36,12 +37,11 @@ def main():
     engine, warr = world["engine"], world["warr"]
 
     srv = RetrievalServer(engine, port=0, max_batch=MAX_BATCH,
-                          max_wait_ms=5.0, top_k=100)
+                          max_wait_ms=5.0, top_k=100, pipeline_depth=DEPTH)
     t0 = time.perf_counter()
     srv.warmup()
     print(f"warmup: {time.perf_counter()-t0:.1f}s", flush=True)
     srv.start_background()
-    base = f"http://{srv.host}:{srv.port}"
 
     stop = threading.Event()
     counts = [0] * N_CLIENTS
@@ -50,19 +50,25 @@ def main():
     import numpy as np
 
     def client(ci: int):
+        # One persistent HTTP/1.1 connection per closed-loop client: the
+        # load generator shares the 1-vCPU host with the server, so
+        # per-request connects + per-connection server threads would bill
+        # harness overhead to the daemon.
         qrng = np.random.default_rng(ci)
+        conn = http.client.HTTPConnection(srv.host, srv.port, timeout=300)
         while not stop.is_set():
             qs = [" ".join(warr[qrng.integers(0, 5000, size=8)])
                   for _ in range(QUERIES_PER_REQ)]
-            req = urllib.request.Request(
-                base + "/retrieve",
-                data=json.dumps({"queries": qs, "top_k": 100}).encode(),
-            )
             t1 = time.perf_counter()
-            with urllib.request.urlopen(req, timeout=300) as r:
-                json.loads(r.read())
+            conn.request(
+                "POST", "/retrieve",
+                json.dumps({"queries": qs, "top_k": 100}),
+                {"Content-Type": "application/json"},
+            )
+            json.loads(conn.getresponse().read())
             lats[ci].append(time.perf_counter() - t1)
             counts[ci] += QUERIES_PER_REQ
+        conn.close()
 
     threads = [threading.Thread(target=client, args=(i,), daemon=True)
                for i in range(N_CLIENTS)]

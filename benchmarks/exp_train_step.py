@@ -39,9 +39,17 @@ def main():
     from mfar_tpu.train.train_step import init_state, make_train_step
 
     B = 24
+    known = ("full", "dots", "attn_out", "bf16sm", "nodonate")
     for a in sys.argv[1:]:
         if a.startswith("b") and a[1:].isdigit():
             B = int(a[1:])
+            if B < 1:
+                sys.exit(f"batch override {a!r} must be >= 1")
+        elif a not in known:
+            sys.exit(
+                f"unrecognized argument {a!r} (expected one of {known} "
+                f"or a batch override like 'b48')"
+            )
     budgets = {"title_dense": 512, "abstract_dense": 512, "cites_dense": 512,
                "topic_dense": 64, "affil_dense": 64}
     config = EncoderConfig(

@@ -35,6 +35,10 @@ def main(argv=None) -> None:
                    help="micro-batch size = the ONE compiled batch shape")
     p.add_argument("--max-wait-ms", type=float, default=5.0,
                    help="batching window opened by the first waiting request")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="micro-batches in flight on device at once: batch "
+                        "i+1's host prep + H2D overlap batch i's scan "
+                        "(1 = sequential dispatch)")
     p.add_argument("--no-warmup", action="store_true",
                    help="skip compiling the serving program before the port "
                         "opens (first request then pays the ~20-40 s compile)")
@@ -76,6 +80,7 @@ def main(argv=None) -> None:
     server = RetrievalServer(
         engine, host=args.host, port=args.port, max_batch=args.max_batch,
         max_wait_ms=args.max_wait_ms, top_k=args.top_k, mode=args.mode,
+        pipeline_depth=args.pipeline_depth,
     )
     if not args.no_warmup:
         # Warm with real queries when the dataset ships any: their postings

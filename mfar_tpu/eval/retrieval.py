@@ -1342,6 +1342,29 @@ class RetrievalEngine:
             return self.retrieve_exact(queries, top_k)
         return self.retrieve_rerank(queries, top_k)
 
+    # -- public dispatch/finish split (pipelined callers) ----------------
+
+    def dispatch(self, queries: Sequence[str], top_k: int = 100,
+                 mode: Optional[str] = None):
+        """Dispatch half of :meth:`retrieve`: all host prep + ASYNC device
+        work, no result fetch.  Returns an opaque handle for
+        :meth:`finish`.  Callers that overlap batches (the serving daemon's
+        MicroBatcher, :meth:`retrieve_many`) dispatch batch i+1 while batch
+        i's device program is still in flight, hiding the fetch round-trip
+        and the next batch's host prep under device compute -- the same
+        split that took batch mode 3,212 -> 4,823 QPS (BENCH_NOTES)."""
+        mode = self._resolve_mode(mode)
+        if mode == "rerank":
+            return ("rerank", self._rerank_dispatch(queries), top_k)
+        return ("exact", self._dispatch_exact(queries, top_k), top_k)
+
+    def finish(self, handle) -> List[List[Tuple[str, float]]]:
+        """Fetch half of :meth:`retrieve` for a :meth:`dispatch` handle."""
+        kind, st, top_k = handle
+        if kind == "rerank":
+            return self._rerank_finish(st, top_k)
+        return self._finish_exact(st)
+
     def _resolve_mode(self, mode: Optional[str]) -> str:
         mode = mode or self.mode
         if mode == "auto":

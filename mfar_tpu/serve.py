@@ -49,6 +49,8 @@ import numpy as np
 
 _PAYLOAD_BYTES = 1 << 20  # fixed broadcast buffer: ONE compiled program
 
+_IDLE = object()  # _collect(block=False): no request queued right now
+
 
 def _broadcast_msg(msg: Optional[Dict[str, Any]], payload_bytes: int = _PAYLOAD_BYTES):
     """One lockstep control message across all processes.
@@ -115,17 +117,40 @@ class MultihostEngineProxy:
         return self.engine.n_docs
 
     def retrieve(self, queries, top_k: int = 100, mode: Optional[str] = None):
+        return self.finish(self.dispatch(queries, top_k=top_k, mode=mode))
+
+    def dispatch(self, queries, top_k: int = 100, mode: Optional[str] = None):
+        """Broadcast + dispatch (no fetch): the pipelined daemon's half.
+
+        The broadcast is a collective, so it returns only when every
+        follower has come back for its next control message -- followers
+        therefore ALSO split dispatch/finish (window in
+        :func:`follower_loop`), otherwise their in-line fetch of batch i
+        would stall process 0's dispatch of batch i+1 and collapse the
+        pipeline to depth 1."""
         queries = [str(q) for q in queries]
         real = len(queries)
         if real == 0:
-            return []  # nothing to broadcast (padding would index queries[-1])
+            return None  # nothing to broadcast (padding would index queries[-1])
         if real < self.max_batch:
             queries = queries + [queries[-1]] * (self.max_batch - real)
         with self._lock:
             if self._stopped:
                 raise RuntimeError("serving bridge already stopped")
             self._bcast({"t": "batch", "q": queries, "k": int(top_k), "m": mode})
-            return self.engine.retrieve(queries, top_k=top_k, mode=mode)[:real]
+            if hasattr(self.engine, "dispatch"):
+                return (self.engine.dispatch(queries, top_k=top_k, mode=mode),
+                        real)
+            return (self.engine.retrieve(queries, top_k=top_k, mode=mode),
+                    real)
+
+    def finish(self, handle):
+        if handle is None:
+            return []
+        inner, real = handle
+        if hasattr(self.engine, "finish"):
+            return self.engine.finish(inner)[:real]
+        return inner[:real]  # engine without the split: already finished
 
     def retrieve_many(self, queries, top_k: int = 100, mode: Optional[str] = None,
                       batch_size: Optional[int] = None):
@@ -158,24 +183,53 @@ class MultihostEngineProxy:
         self._last = time.perf_counter()
 
 
-def follower_loop(engine, payload_bytes: int = _PAYLOAD_BYTES) -> None:
+def follower_loop(engine, payload_bytes: int = _PAYLOAD_BYTES,
+                  window: int = 2) -> None:
     """Non-primary processes' half of the multi-host serving daemon: block
-    on the next control broadcast, run the identical engine batch (results
-    are discarded -- they are replicated, and process 0 answers the HTTP
-    request), repeat until process 0 broadcasts stop."""
-    while True:
-        msg = _broadcast_msg(None, payload_bytes)
-        if msg["t"] == "stop":
-            return
-        if msg["t"] == "noop":
-            continue
+    on the next control broadcast, DISPATCH the identical engine batch
+    (results are discarded -- they are replicated, and process 0 answers
+    the HTTP request), repeat until process 0 broadcasts stop.
+
+    Dispatch/finish split with a ``window``-deep pending queue: the
+    control broadcast is a collective, so an in-line fetch here would
+    hold process 0's next dispatch hostage to this process's fetch
+    round-trip and serialize the whole deployment to one batch in
+    flight.  Finishing (with a fetch) still happens -- ``window`` batches
+    late -- to bound in-flight buffers and surface device errors."""
+    from collections import deque
+
+    can_split = hasattr(engine, "dispatch") and hasattr(engine, "finish")
+    pending: "deque" = deque()
+
+    def _finish_oldest() -> None:
         try:
-            engine.retrieve(msg["q"], top_k=msg["k"], mode=msg["m"])
+            engine.finish(pending.popleft())
         except Exception as e:  # noqa: BLE001 -- mirror process 0's behavior:
             # identical inputs raise identically there, where the batcher
             # reports the error to the waiting requests and keeps serving.
             print(f"[serve-follower] batch failed: {type(e).__name__}: {e}",
                   flush=True)
+
+    while True:
+        msg = _broadcast_msg(None, payload_bytes)
+        if msg["t"] == "stop":
+            while pending:
+                _finish_oldest()
+            return
+        if msg["t"] == "noop":
+            continue
+        try:
+            if can_split:
+                pending.append(
+                    engine.dispatch(msg["q"], top_k=msg["k"], mode=msg["m"])
+                )
+            else:
+                engine.retrieve(msg["q"], top_k=msg["k"], mode=msg["m"])
+        except Exception as e:  # noqa: BLE001 -- see _finish_oldest
+            print(f"[serve-follower] batch failed: {type(e).__name__}: {e}",
+                  flush=True)
+        while len(pending) > window:
+            _finish_oldest()
 
 
 class _Pending:
@@ -195,6 +249,17 @@ class MicroBatcher:
 
     ``top_k`` is the SERVED depth (one compiled program); per-request
     ``top_k`` values <= it are sliced from the shared result.
+
+    The dispatcher PIPELINES: when the engine exposes the dispatch/finish
+    split (``RetrievalEngine.dispatch``/``finish``), up to
+    ``pipeline_depth`` micro-batches are dispatched (host tokenize + BM25
+    postings + async device program) before the oldest result is fetched,
+    so batch i+1's host prep and H2D overlap batch i's in-flight device
+    scan -- the same restructuring that took batch mode 3,212 -> 4,823 QPS
+    (BENCH_NOTES round 4).  An idle queue drains the pipeline immediately
+    (no request waits on a later batch to arrive), so unloaded latency is
+    unchanged; under load the device never sits idle waiting for host prep.
+    Engines without the split fall back to the sequential path.
     """
 
     def __init__(
@@ -204,16 +269,20 @@ class MicroBatcher:
         max_wait_ms: float = 5.0,
         top_k: int = 100,
         mode: Optional[str] = None,
+        pipeline_depth: int = 2,
     ):
         self.engine = engine
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
         self.top_k = int(top_k)
         self.mode = mode
+        self.pipeline_depth = max(int(pipeline_depth), 1)
+        self._can_split = hasattr(engine, "dispatch") and hasattr(engine, "finish")
         self._q: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._carry: Optional[_Pending] = None  # overflow from _collect
         self._lock = threading.Lock()
         self._stats = dict(requests=0, queries=0, batches=0, padded=0, errors=0)
+        self._phase_s = dict(collect=0.0, dispatch=0.0, finish=0.0)
         self._latencies: List[float] = []  # ring buffer, seconds
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._started = False
@@ -281,16 +350,24 @@ class MicroBatcher:
             self.engine.retrieve(sample, top_k=self.top_k, mode=self.mode)
         return time.perf_counter() - t0
 
-    def _collect(self) -> Optional[List[_Pending]]:
-        """One micro-batch: block for the first request, then drain until
-        max_batch queries are assembled or the wait window closes.
+    def _collect(self, block: bool = True):
+        """One micro-batch: wait for the first request (``block=False``
+        returns ``_IDLE`` immediately when none is queued -- the pipelined
+        loop then finishes an in-flight batch instead of stalling it), then
+        drain until max_batch queries are assembled or the wait window
+        closes.  Returns None on shutdown.
 
         A request that would push the batch PAST max_batch is carried to
         the next batch instead of coalesced (coalescing would split the
         combined list into a second, nearly-empty padded device dispatch
         that delays everyone).  Only a single request larger than
         max_batch ever overflows, as the first item of its own batch."""
-        first = self._carry or self._q.get()
+        first = self._carry
+        if first is None:
+            try:
+                first = self._q.get(block=block)
+            except queue.Empty:
+                return _IDLE
         self._carry = None
         if first is None:
             return None
@@ -314,51 +391,111 @@ class MicroBatcher:
             n += len(nxt.queries)
         return batch
 
-    def _run(self) -> None:
-        while True:
-            batch = self._collect()
-            if batch is None:
-                return
-            texts: List[str] = []
-            for item in batch:
-                texts.extend(item.queries)
-            real = len(texts)
-            # Oversized single requests fall through to retrieve_many
-            # (which itself pads its tail chunk); normal batches pad to
-            # the ONE compiled shape.
-            padded = texts
-            if 0 < real < self.max_batch:
-                padded = texts + [texts[-1]] * (self.max_batch - real)
-            try:
-                if real == 0:
-                    results: List[List[Tuple[str, float]]] = []
-                elif len(padded) > self.max_batch:
-                    results = self.engine.retrieve_many(
-                        padded, top_k=self.top_k, mode=self.mode,
-                        batch_size=self.max_batch,
-                    )[:real]
-                else:
-                    results = self.engine.retrieve(
-                        padded, top_k=self.top_k, mode=self.mode
-                    )[:real]
+    def _deliver(self, batch: List[_Pending], results) -> None:
+        pos = 0
+        for item in batch:
+            sub = results[pos : pos + len(item.queries)]
+            if item.top_k is not None:
+                sub = [hits[: item.top_k] for hits in sub]
+            item.results = sub
+            pos += len(item.queries)
+            item.done.set()
+
+    def _fail(self, batch: List[_Pending], e: BaseException) -> None:
+        with self._lock:
+            self._stats["errors"] += 1
+        for item in batch:
+            item.error = f"{type(e).__name__}: {e}"
+            item.done.set()
+
+    def _dispatch_batch(self, batch: List[_Pending]):
+        """Host prep + async device dispatch for one collected micro-batch.
+        Returns an in-flight (batch, real, handle) entry for _finish_batch,
+        or None if the batch was fully handled here (errors; the sequential
+        fallbacks for oversized requests and engines without the split)."""
+        texts: List[str] = []
+        for item in batch:
+            texts.extend(item.queries)
+        real = len(texts)
+        if real == 0:
+            self._deliver(batch, [])
+            return None
+        # Oversized single requests fall through to retrieve_many
+        # (which itself pads its tail chunk and pipelines internally);
+        # normal batches pad to the ONE compiled shape.
+        padded = texts
+        if real < self.max_batch:
+            padded = texts + [texts[-1]] * (self.max_batch - real)
+        t0 = time.perf_counter()
+        try:
+            if len(padded) > self.max_batch:
+                results = self.engine.retrieve_many(
+                    padded, top_k=self.top_k, mode=self.mode,
+                    batch_size=self.max_batch,
+                )[:real]
+            elif self._can_split:
+                handle = self.engine.dispatch(
+                    padded, top_k=self.top_k, mode=self.mode
+                )
                 with self._lock:
                     self._stats["batches"] += 1
                     self._stats["queries"] += real
-                    self._stats["padded"] += max(len(padded) - real, 0)
-                pos = 0
-                for item in batch:
-                    sub = results[pos : pos + len(item.queries)]
-                    if item.top_k is not None:
-                        sub = [hits[: item.top_k] for hits in sub]
-                    item.results = sub
-                    pos += len(item.queries)
-                    item.done.set()
-            except Exception as e:  # noqa: BLE001 -- report to every waiter
-                with self._lock:
-                    self._stats["errors"] += 1
-                for item in batch:
-                    item.error = f"{type(e).__name__}: {e}"
-                    item.done.set()
+                    self._stats["padded"] += len(padded) - real
+                    self._phase_s["dispatch"] += time.perf_counter() - t0
+                return (batch, real, handle)
+            else:
+                results = self.engine.retrieve(
+                    padded, top_k=self.top_k, mode=self.mode
+                )[:real]
+        except Exception as e:  # noqa: BLE001 -- report to every waiter
+            self._fail(batch, e)
+            return None
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["queries"] += real
+            self._stats["padded"] += max(len(padded) - real, 0)
+            self._phase_s["dispatch"] += time.perf_counter() - t0
+        self._deliver(batch, results)
+        return None
+
+    def _finish_batch(self, entry) -> None:
+        batch, real, handle = entry
+        t0 = time.perf_counter()
+        try:
+            results = self.engine.finish(handle)[:real]
+        except Exception as e:  # noqa: BLE001 -- report to every waiter
+            self._fail(batch, e)
+            return
+        with self._lock:
+            self._phase_s["finish"] += time.perf_counter() - t0
+        self._deliver(batch, results)
+
+    def _run(self) -> None:
+        # In-flight dispatched micro-batches, oldest first.  Invariant:
+        # len(pending) <= pipeline_depth; pending is non-empty only while
+        # the engine supports the dispatch/finish split.
+        pending: List[Any] = []
+        while True:
+            t0 = time.perf_counter()
+            # Block for work only when nothing is in flight; otherwise poll,
+            # and spend idle time finishing the oldest in-flight batch (its
+            # waiters get their results at the same moment they would have
+            # under the sequential loop).
+            batch = self._collect(block=not pending)
+            with self._lock:
+                self._phase_s["collect"] += time.perf_counter() - t0
+            if batch is None:  # shutdown: drain in-flight work first
+                for entry in pending:
+                    self._finish_batch(entry)
+                return
+            if batch is _IDLE:
+                self._finish_batch(pending.pop(0))
+                continue
+            entry = self._dispatch_batch(batch)
+            if entry is not None:
+                pending.append(entry)
+                if len(pending) >= self.pipeline_depth:
+                    self._finish_batch(pending.pop(0))
 
     # -- introspection ---------------------------------------------------
 
@@ -368,6 +505,14 @@ class MicroBatcher:
             lat = np.asarray(self._latencies, np.float64)
         out["served_top_k"] = self.top_k
         out["max_batch"] = self.max_batch
+        out["pipeline_depth"] = self.pipeline_depth if self._can_split else 1
+        with self._lock:
+            # Dispatcher-thread seconds per phase: collect = waiting for /
+            # coalescing requests, dispatch = host prep + async device
+            # dispatch, finish = blocked on device results + id mapping.
+            # Under load, finish >> dispatch means the device (or its fetch
+            # path) is the bottleneck; collect >> rest means traffic is.
+            out["phase_s"] = {k: round(v, 2) for k, v in self._phase_s.items()}
         if out["queries"] + out["padded"] > 0:
             out["mean_batch_fill"] = round(
                 out["queries"] / (out["queries"] + out["padded"]), 4
@@ -390,17 +535,25 @@ class RetrievalServer:
         max_wait_ms: float = 5.0,
         top_k: int = 100,
         mode: Optional[str] = None,
+        pipeline_depth: int = 2,
     ):
         from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
         self.batcher = MicroBatcher(
             engine, max_batch=max_batch, max_wait_ms=max_wait_ms,
-            top_k=top_k, mode=mode,
+            top_k=top_k, mode=mode, pipeline_depth=pipeline_depth,
         )
         batcher = self.batcher
         started = time.time()
 
         class Handler(BaseHTTPRequestHandler):
+            # HTTP/1.1 keep-alive: every response carries Content-Length, so
+            # persistent connections are safe -- a closed-loop client then
+            # costs one TCP connect + one server thread for its LIFETIME
+            # instead of per request (per-request threads + connects measurably
+            # eat the 1-vCPU serving host's budget at >1K QPS).
+            protocol_version = "HTTP/1.1"
+
             def log_message(self, fmt, *a):  # quiet per-request stderr lines
                 pass
 

@@ -124,6 +124,54 @@ def test_microbatcher_rejects_bad_requests(world):
         b.submit(["q"], top_k=50)
 
 
+class _SplitLogEngine:
+    """Engine stub exposing the dispatch/finish split, recording call order."""
+
+    n_docs = 10
+
+    def __init__(self):
+        self.log = []
+
+    def dispatch(self, queries, top_k=100, mode=None):
+        self.log.append(("dispatch", queries[0]))
+        return (list(queries), top_k)
+
+    def finish(self, handle):
+        queries, top_k = handle
+        self.log.append(("finish", queries[0]))
+        return [[("d0", 1.0)][:top_k] for _ in queries]
+
+    def retrieve(self, queries, top_k=100, mode=None):
+        return self.finish(self.dispatch(queries, top_k, mode))
+
+
+def test_microbatcher_pipelines_dispatch_ahead():
+    """Under a backlog, batch i+1 must be DISPATCHED before batch i is
+    finished (the host prep + H2D of i+1 then overlap i's device program);
+    an idle queue must drain in-flight batches rather than hold them."""
+    from mfar_tpu.serve import _Pending
+
+    eng = _SplitLogEngine()
+    b = MicroBatcher(eng, max_batch=2, max_wait_ms=5.0, top_k=1,
+                     pipeline_depth=2)
+    # Backlog of three full batches BEFORE the dispatcher starts.
+    items = [_Pending([f"q{i}a", f"q{i}b"], None) for i in range(3)]
+    for it in items:
+        b._q.put(it)
+    b.start()
+    try:
+        for it in items:
+            assert it.done.wait(30), "micro-batch never delivered"
+            assert it.error is None and len(it.results) == 2
+        log = eng.log
+        assert log.index(("dispatch", "q1a")) < log.index(("finish", "q0a")), log
+        # Everything delivered => the idle drain finished the tail batch.
+        assert sum(1 for kind, _ in log if kind == "finish") == 3
+        assert b.stats()["pipeline_depth"] == 2
+    finally:
+        b.stop()
+
+
 def test_microbatcher_carries_overflowing_request(world):
     """A request that would push a batch past max_batch opens the NEXT
     batch instead of splitting the combined list into a second
