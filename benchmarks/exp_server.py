@@ -37,7 +37,7 @@ def main():
     engine, warr = world["engine"], world["warr"]
 
     srv = RetrievalServer(engine, port=0, max_batch=MAX_BATCH,
-                          max_wait_ms=5.0, top_k=100, pipeline_depth=DEPTH)
+                          max_wait_ms=float(os.environ.get("MFAR_SERVE_WAIT_MS", "5")), top_k=100, pipeline_depth=DEPTH)
     t0 = time.perf_counter()
     srv.warmup()
     print(f"warmup: {time.perf_counter()-t0:.1f}s", flush=True)
@@ -60,12 +60,22 @@ def main():
             qs = [" ".join(warr[qrng.integers(0, 5000, size=8)])
                   for _ in range(QUERIES_PER_REQ)]
             t1 = time.perf_counter()
-            conn.request(
-                "POST", "/retrieve",
-                json.dumps({"queries": qs, "top_k": 100}),
-                {"Content-Type": "application/json"},
-            )
-            json.loads(conn.getresponse().read())
+            try:
+                conn.request(
+                    "POST", "/retrieve",
+                    json.dumps({"queries": qs, "top_k": 100}),
+                    {"Content-Type": "application/json"},
+                )
+                json.loads(conn.getresponse().read())
+            except (OSError, http.client.HTTPException):
+                if stop.is_set():
+                    break  # shutdown race: server closed the keep-alive conn
+                # Mid-run reset (1-vCPU host under load): reconnect like a
+                # real client instead of dying and under-counting QPS.
+                conn.close()
+                conn = http.client.HTTPConnection(
+                    srv.host, srv.port, timeout=300)
+                continue
             lats[ci].append(time.perf_counter() - t1)
             counts[ci] += QUERIES_PER_REQ
         conn.close()

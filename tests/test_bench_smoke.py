@@ -25,6 +25,28 @@ def test_op_and_baseline():
     assert bench.baseline_qps() > 0
 
 
+def test_baseline_e2e_slower_than_scan():
+    """The e2e twin adds the encode stage, so it must be strictly slower
+    than the scan-only baseline (the headline's fairness invariant)."""
+    scan = bench.baseline_qps()
+    e2e = bench.baseline_e2e_qps(scan)
+    assert 0 < e2e < scan
+
+
+def test_served_soak_section():
+    """The online-daemon soak serves real results and records latency."""
+    docs = bench.make_docs()
+    world = bench.engine_world(docs, num_layers=2, hidden=bench.E)
+    engine = bench.make_engine(docs, world, hybrid=False)
+    extra = {}
+    qps = bench.served_soak(engine, world, extra, seconds=1.0, n_clients=2,
+                            max_batch=8, wait_ms=5.0, depth=2)
+    assert qps > 0
+    assert extra["served_latency_ms_p50"] > 0
+    assert extra["served_latency_ms_p95"] >= extra["served_latency_ms_p50"]
+    assert 0 < extra["served_batch_fill"] <= 1
+
+
 def test_engine_sections_dense_and_hybrid():
     docs = bench.make_docs()
     world = bench.engine_world(docs, num_layers=2, hidden=bench.E)
@@ -45,16 +67,45 @@ def test_index_build_section():
 
 def test_main_json_line(monkeypatch, capsys):
     """MFAR_BENCH_FAST main prints exactly one parseable JSON line with the
-    required keys."""
+    required keys; the headline is the default-path ENGINE e2e with the op
+    numbers preserved as extras."""
     monkeypatch.setenv("MFAR_BENCH_FAST", "1")
     monkeypatch.setattr(bench, "backend_probe", lambda t: (True, "patched"))
+    full_world = bench.engine_world
+    monkeypatch.setattr(  # CPU-sized encoder for the smoke
+        bench, "engine_world",
+        lambda docs: full_world(docs, num_layers=2, hidden=bench.E))
     bench.main()
     lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
     assert len(lines) == 1
     rec = json.loads(lines[0])
     assert {"metric", "value", "unit", "vs_baseline", "extra"} <= set(rec)
+    assert rec["metric"] == "dense_engine_e2e_qps"
     assert rec["value"] > 0
+    assert rec["vs_baseline"] > 0
     assert rec["extra"]["status"] == "ok"
+    assert rec["extra"]["op_topk_qps"] > 0
+    assert rec["extra"]["op_vs_baseline"] > 0
+    assert rec["extra"]["engine_dense_exact_qps"] == rec["value"]
+
+
+def test_main_engine_failure_falls_back_to_op(monkeypatch, capsys):
+    """If the engine build dies mid-run (relay), the line still carries the
+    op headline, labeled engine-headline-failed."""
+    monkeypatch.setenv("MFAR_BENCH_FAST", "1")
+    monkeypatch.setattr(bench, "backend_probe", lambda t: (True, "patched"))
+
+    def boom(docs):
+        raise RuntimeError("relay died mid-engine-build")
+
+    monkeypatch.setattr(bench, "engine_world", boom)
+    assert bench.main() == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines() if l.startswith("{")]
+    rec = json.loads(lines[0])
+    assert rec["metric"] == "fused_multifield_topk_qps"
+    assert rec["extra"]["status"] == "engine-headline-failed"
+    assert rec["value"] > 0
+    assert "relay died" in rec["extra"]["engine_error"]
 
 
 def test_backend_probe_real():
