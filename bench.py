@@ -22,6 +22,9 @@ measured on this host on slices and scaled -- see baseline_e2e_qps.
 - served_qps / served_latency_ms_p50 / p95: the ONLINE daemon (HTTP
   frontend + pipelined MicroBatcher over the same engine) under a
   closed-loop soak -- what the batch numbers can't show;
+- engine_dense_rerank_qps: a DEDICATED rerank-mode dense engine (recall +
+  stage-2 candidate rerank, reference-compat semantics) at N=768K, where
+  the auto cost-model gate enables the Pallas DMA-gather stage 2;
 - topk_b512_qps: the fused op at B=512 with ids (the round-1 cliff);
 - train_step_ms: mag all_dense-shape step (contriever-base, B=24, remat,
   rbg, attention-dropout 0, bf16 softmax -- the recommended flags);
@@ -208,7 +211,8 @@ def engine_world(docs, num_layers: int = 12, hidden: int = 768):
     return dict(rng=rng, warr=warr, tok=tok, encode=encode, emb=hidden)
 
 
-def make_engine(docs, world, hybrid: bool, quantize=None):
+def make_engine(docs, world, hybrid: bool, quantize=None, mode="auto",
+                n=None):
     import numpy as np
 
     import jax.numpy as jnp
@@ -216,19 +220,21 @@ def make_engine(docs, world, hybrid: bool, quantize=None):
     from mfar_tpu.data.schema import resolve_fields
     from mfar_tpu.eval.retrieval import RetrievalEngine
 
+    n = N if n is None else n  # rows in ``docs`` (the rerank section's
+    #                            corpus is sized to its auto-gate, not N)
     rng, warr = world["rng"], world["warr"]
     field_info = resolve_fields("all_dense" + (",title_sparse" if hybrid else ""), "mag")
     sparse_indices = {}
     if hybrid:
         from mfar_tpu.sparse.bm25 import BM25Index
 
-        texts = [" ".join(warr[rng.integers(0, 5000, size=8)]) for _ in range(N)]
+        texts = [" ".join(warr[rng.integers(0, 5000, size=8)]) for _ in range(n)]
         sparse_indices["title_sparse"] = BM25Index.create(
             [(str(i), t) for i, t in enumerate(texts)]
         )
     return RetrievalEngine(
         field_info=field_info,
-        doc_keys=[str(i) for i in range(N)],
+        doc_keys=[str(i) for i in range(n)],
         encode_fn=world["encode"],
         tokenizer=world["tok"],
         mixer_params={"weight": jnp.asarray(
@@ -238,6 +244,7 @@ def make_engine(docs, world, hybrid: bool, quantize=None):
         query_max_length=64,
         recall_k=K,
         quantize=quantize,
+        mode=mode,
     )
 
 
@@ -617,6 +624,29 @@ def main():
         section("index_build_docs_per_s", lambda: index_build_docs_per_s(world))
         hybrid_engine.clear()
         del docs
+
+        # DEDICATED rerank-mode dense engine: the auto cost-model gate
+        # (eval/retrieval.py::_pallas_gather_auto) enables the Pallas
+        # DMA-gather stage 2 -- the default a `retrieve --mode rerank` CLI
+        # user gets.  Runs at N=512K, the largest power-of-two bf16 corpus
+        # whose PAIR view + scan workspace fit the gate's memory model
+        # within the ~12.9 GiB the default XLA client fraction (0.75) lets
+        # us allocate of the 16 GiB chip (measured round 5; N=1M and 768K
+        # both OOM'd the recall scan with two copies resident); needs the
+        # 1M corpus freed first.
+        def _rerank_qps():
+            import jax
+            import jax.numpy as jnp
+
+            n_rr = 524_288
+            docs_rr = jax.random.normal(
+                jax.random.PRNGKey(0), (n_rr, F * E), jnp.bfloat16
+            )
+            eng = make_engine(docs_rr, world, False, mode="rerank", n=n_rr)
+            assert eng.docs_rows is not None, "auto gate failed to fire"
+            return engine_qps(eng, world, 256, "rerank")
+
+        section("engine_dense_rerank_qps", _rerank_qps)
         section("train_step_ms", train_step_ms, always=True)
         if extra.get("train_step_ms"):
             # Single-chip training MFU: analytic model FLOPs over measured

@@ -1,7 +1,14 @@
 """Engine end-to-end serving benchmark prototype.
 
 python benchmarks/exp_engine.py \
-    [dense|dense-int8|dense-approx|hybrid|dense-host|dense-host-int8|hybrid-host] [N] [B]
+    [dense|dense-int8|dense-approx|hybrid|dense-host|dense-host-int8|hybrid-host\
+|dense-rerank|dense-rerank-xla] [N] [B]
+
+The dense-rerank modes run a DEDICATED rerank-mode engine (recall + stage-2
+candidate gather): ``dense-rerank`` takes the engine default (the auto
+cost-model gate enables the Pallas DMA gather on TPU when the corpus fits
+half of HBM), ``dense-rerank-xla`` forces the XLA row-gather -- the A/B for
+the gate's win.
 
 Measures RetrievalEngine.retrieve (tokenize + encode + fold + fused top-k +
 id mapping) with a contriever-base-shape random-init encoder over a
@@ -26,11 +33,14 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from synth_engine import make_world, random_queries
 
+    rerank = mode.startswith("dense-rerank")
     world = make_world(
         N, hybrid=mode.startswith("hybrid"),
         corpus_on_host="-host" in mode,
         quantize="int8" if mode.endswith("-int8") else None,
         dense_topk="approx" if mode.endswith("-approx") else "exact",
+        mode="rerank" if rerank else "exact",
+        use_pallas_gather=False if mode == "dense-rerank-xla" else "auto",
     )
     engine, tok = world["engine"], world["tok"]
     sparse_indices = world["sparse_indices"]
@@ -82,7 +92,11 @@ def main():
     if mode.startswith("hybrid"):
         bm = sparse_indices["title_sparse"]
         parts["postings_host"] = best(lambda: bm.get_postings_batch(cleaned))
-    parts["dispatch_host"] = best(lambda: engine._dispatch_exact(queries, 100))
+    if rerank:
+        parts["dispatch_host"] = best(lambda: engine._rerank_dispatch(queries))
+        parts["pallas_gather"] = engine.docs_rows is not None
+    else:
+        parts["dispatch_host"] = best(lambda: engine._dispatch_exact(queries, 100))
     parts["e2e_batch"] = dt * 1000
     print("breakdown ms/batch: "
           + json.dumps({k: round(v, 1) for k, v in parts.items()}), flush=True)

@@ -1,19 +1,21 @@
 """Pallas rerank-gather experiment:
 python benchmarks/exp_pallas.py [VARIANT] [N] [B] [C]
 
-VARIANT: xla | pallas | xrow | mc | all (default all).  Validates each
-variant against the XLA gather+einsum reference on a small id slice, then
-times the full [B, C] candidate gather+score at rerank shapes.  ``xrow`` is
-the cross-row DMA prefetch and ``mc`` the megacore (parallel query-row
-axis) variant (see ops/pallas_kernels.py) -- run these ONCE on real
-hardware before changing any default.
+VARIANT: xla | pallas | xrow | mc | mc16 | all (default all).  Validates
+each variant against the XLA gather+einsum reference on a small id slice,
+then times the full [B, C] candidate gather+score at rerank shapes.
+``xrow`` is the cross-row DMA prefetch, ``mc`` the megacore (parallel
+query-row axis) variant, and ``mc16`` megacore over a BF16 corpus view --
+half the DMA bytes of this DMA-bound kernel, and the combination the
+auto-gate ships by default (see ops/pallas_kernels.py) -- run these ONCE
+on real hardware before changing any default.
 
 One variant still shares the process (same corpus, sequential jits) because
 every program here is a single pallas_call / jit with one scalar fetch --
 the shapes are tiny next to the top-k scans, so the relay-wedging risk that
 forces one-config-per-process elsewhere does not apply.  Keep N modest:
-the kernel wants an f32 corpus ([N, 1, F*E] row view), 262144 rows at
-F*E=3840 is ~4 GB HBM.
+``all`` holds the f32 corpus + its f32 row view + the bf16 row view
+(262144 rows at F*E=3840: ~10 GB HBM).
 """
 
 import sys
@@ -32,7 +34,7 @@ def main():
 
     _cc()
     variant = sys.argv[1] if len(sys.argv) > 1 else "all"
-    assert variant in ("xla", "pallas", "xrow", "mc", "all"), (
+    assert variant in ("xla", "pallas", "xrow", "mc", "mc16", "all"), (
         f"unknown variant {variant!r}"
     )  # fail BEFORE paying the corpus-size row-DMA copy
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 262144
@@ -62,7 +64,7 @@ def main():
             lambda q, d, i: gather_per_field_scores_xla(q, d, i).sum()
         )
         runners["xla"] = lambda: float(xla_fn(q, docs, ids))
-    if variant != "xla":
+    if variant in tuple(n for n, _ in PALLAS_VARIANTS) + ("all",):
         rows = make_row_dma_view(docs)  # built ONCE: it is a corpus-size copy
         for name, kw in PALLAS_VARIANTS:
             if variant not in (name, "all"):
@@ -73,6 +75,17 @@ def main():
                 ).sum()
             )
             runners[name] = lambda fn=fn: float(fn(q, rows, ids))
+    rows16 = None
+    if variant in ("mc16", "all"):
+        # bf16 corpus view: half the row-DMA copy AND half the kernel's DMA
+        # bytes; correctness vs XLA on the SAME stored precision below.
+        rows16 = make_row_dma_view(docs.astype(jnp.bfloat16))
+        fn16 = jax.jit(
+            lambda q, r, i: gather_per_field_scores_pallas(
+                q, r, i, F, interpret=interpret, megacore=True
+            ).sum()
+        )
+        runners["mc16"] = lambda: float(fn16(q, rows16, ids))
 
     # Correctness first: full-output comparison vs the XLA reference
     # (skipped when only the XLA runner was requested -- nothing to compare).
@@ -87,6 +100,19 @@ def main():
                 )
                 np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
                 print(f"{name}: matches XLA on [{b}, {c}, {F}]", flush=True)
+    if rows16 is not None:
+        want16 = np.asarray(
+            gather_per_field_scores_xla(
+                q, docs.astype(jnp.bfloat16).astype(jnp.float32), ids
+            )
+        )
+        got16 = np.asarray(
+            gather_per_field_scores_pallas(
+                q, rows16, ids, F, interpret=interpret, megacore=True
+            )
+        )
+        np.testing.assert_allclose(got16, want16, rtol=1e-4, atol=1e-4)
+        print(f"mc16: matches XLA(bf16-stored) on [{b}, {c}, {F}]", flush=True)
 
     for name, run in runners.items():
         t0 = time.perf_counter()

@@ -14,7 +14,8 @@ import numpy as np
 
 def make_world(N: int, hybrid: bool = False, seed: int = 0,
                corpus_on_host: bool = False, quantize=None,
-               dense_topk: str = "exact"):
+               dense_topk: str = "exact", mode: str = "exact",
+               use_pallas_gather="auto"):
     """Returns dict(engine, warr, tok, rng) -- ready to serve."""
     import jax
     import jax.numpy as jnp
@@ -82,10 +83,11 @@ def make_world(N: int, hybrid: bool = False, seed: int = 0,
         sparse_indices=sparse_indices,
         query_max_length=64,
         recall_k=100,
-        mode="exact",
+        mode=mode,
         corpus_on_host=corpus_on_host,
         quantize=quantize,
         dense_topk=dense_topk,
+        use_pallas_gather=use_pallas_gather,
     )
     print(f"engine build: {time.perf_counter()-t0:.1f}s", flush=True)
     return dict(engine=engine, warr=warr, tok=tok, rng=rng,

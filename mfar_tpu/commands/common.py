@@ -114,9 +114,16 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--quantize", default=None, choices=[None, "int8"],
                    help="int8 corpus quantization: half the HBM (2x docs per "
                         "chip or mesh), ~0.5%% per-side score precision trade")
-    p.add_argument("--use-pallas-gather", action="store_true",
+    p.add_argument("--use-pallas-gather", nargs="?", const="on", default="auto",
+                   choices=["auto", "on", "off"],
                    help="Pallas DMA rerank gather (faster stage-2; keeps a "
-                        "second corpus copy in HBM -- see ops/pallas_kernels.py)")
+                        "second row-DMA corpus copy in HBM -- see "
+                        "ops/pallas_kernels.py).  auto (default): on for a "
+                        "dedicated --mode rerank TPU engine whose corpus "
+                        "fits the cost model (2 copies + scan workspace in "
+                        "HBM, f32/bf16, single chip); on: force "
+                        "(incompatible with --mesh/--quantize/"
+                        "--corpus-on-host); off: never")
     p.add_argument("--pallas-cross-row", action="store_true",
                    help="cross-row DMA prefetch in the Pallas rerank kernel "
                         "(removes the per-query warm-up stall); experimental")
@@ -207,14 +214,15 @@ def build_engine(args, label: str = "engine"):
 
     encoder = build_encoder(config)
 
-    # pallas-gather keeps a single-chip row-DMA corpus copy (forces --mesh
-    # off); int8 composes with the mesh (2x docs per MESH) and with a host
-    # corpus (1-byte streamed chunks), including all three together (each
-    # chip streams its int8 row shard); hybrid composes with every corpus
+    # FORCED pallas-gather keeps a single-chip row-DMA corpus copy (forces
+    # --mesh off); in auto the mesh wins and the gate resolves off.  int8
+    # composes with the mesh (2x docs per MESH) and with a host corpus
+    # (1-byte streamed chunks), including all three together (each chip
+    # streams its int8 row shard); hybrid composes with every corpus
     # representation (per-shard postings scatter, including per streamed
     # chunk).
     mesh = None
-    if not args.use_pallas_gather:
+    if args.use_pallas_gather != "on":
         mesh = mesh_from_flag(args.mesh, label,
                               n_model=args.n_model, n_replica=args.n_replica)
 
@@ -237,7 +245,9 @@ def build_engine(args, label: str = "engine"):
         dense_matrix=matrix if matrix.size else None,
         sparse_indices={k: sparse_indices[k] for k in sparse_keys(field_info)},
         recall_k=args.recall_k,
-        use_pallas_gather=args.use_pallas_gather,
+        use_pallas_gather={"on": True, "off": False}.get(
+            args.use_pallas_gather, "auto"
+        ),
         pallas_cross_row=args.pallas_cross_row,
         quantize=args.quantize,
         mesh=mesh,
@@ -245,9 +255,11 @@ def build_engine(args, label: str = "engine"):
         mode=args.mode,
         dense_topk=args.dense_topk,
         corpus_on_host=args.corpus_on_host,
-        # pallas gather and int8 manage their own corpus representation
+        # int8 manages its own corpus representation; the pallas gather now
+        # composes with bf16 (a bf16 rowview halves the copy AND the
+        # kernel's DMA bytes -- see ops/pallas_kernels.py)
         dense_dtype=jnp.bfloat16
-        if args.dense_dtype == "bf16" and not args.quantize and not args.use_pallas_gather
+        if args.dense_dtype == "bf16" and not args.quantize
         else None,
     )
 

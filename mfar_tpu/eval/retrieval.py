@@ -101,7 +101,12 @@ class RetrievalEngine:
         query_max_length: int = 512,
         recall_k: int = 100,
         mask: Optional[np.ndarray] = None,  # [Ftot] field ablation mask
-        use_pallas_gather: bool = False,  # opt-in Pallas rerank (see ops/pallas_kernels.py)
+        use_pallas_gather="auto",  # Pallas rerank gather (ops/pallas_kernels.py):
+        #   True = always (asserts on incompatible configs), False = never,
+        #   "auto" (default) = the cost-model gate -- on iff this is a
+        #   dedicated rerank-mode TPU engine (mode="rerank", single chip,
+        #   HBM corpus, f32/bf16) AND both corpus copies + scan workspace
+        #   fit HBM (see _pallas_gather_auto)
         pallas_cross_row: bool = False,  # cross-row DMA prefetch inside the
         #   Pallas rerank kernel (no per-query warm-up stall).  Validated on
         #   hardware round 4 but slower than the megacore default (32.3 vs
@@ -150,16 +155,18 @@ class RetrievalEngine:
         self.sparse_keys = sparse_keys(field_info)
         self.mask = mask
         self.pallas_cross_row = pallas_cross_row
+        assert use_pallas_gather in (True, False, "auto"), use_pallas_gather
         assert not pallas_cross_row or use_pallas_gather, (
             "pallas_cross_row tunes the Pallas rerank kernel and does "
             "nothing without use_pallas_gather (--use-pallas-gather)"
         )
         self.corpus_on_host = corpus_on_host
         if corpus_on_host:
-            assert not use_pallas_gather, (
+            assert use_pallas_gather is not True, (
                 "corpus_on_host has no device-resident corpus for the "
                 "Pallas rerank gather"
             )
+            use_pallas_gather = False
             # hybrid corpus_on_host composes with the mesh (per-chunk rows
             # shard over the corpus axes, postings scatter per shard) and
             # with int8 (1-byte chunks) -- see the host-streamed hybrid
@@ -173,12 +180,13 @@ class RetrievalEngine:
         self._corpus_axes = None
         self._query_axis = None
         if mesh is not None:
-            assert not use_pallas_gather, (
+            assert use_pallas_gather is not True, (
                 "pallas-gather keeps a second single-chip row-DMA corpus "
                 "copy and is not composed with the mesh (int8 IS: the "
                 "quantized corpus shards over the corpus axes -- 2x docs "
                 "per MESH)"
             )
+            use_pallas_gather = False
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             from mfar_tpu.parallel.mesh import DATA_AXIS, REPLICA_AXIS, batch_axes
@@ -288,7 +296,11 @@ class RetrievalEngine:
                     self.docs_host = flat
                     self._host_transfer_dtype = dense_dtype
             elif quantize == "int8":
-                assert not use_pallas_gather, "pallas gather path is full-precision only"
+                assert use_pallas_gather is not True, (
+                    "int8 rerank dequantizes candidates through the XLA "
+                    "gather; the Pallas DMA gather reads f32/bf16 rows"
+                )
+                use_pallas_gather = False
                 if isinstance(flat, jax.Array):
                     # Corpus already device-committed: quantize THERE (one
                     # row-wise reduce + cast).  Pulling it to host first
@@ -328,11 +340,12 @@ class RetrievalEngine:
                 )
             else:
                 self.docs_flat = jnp.asarray(flat, dtype=dense_dtype)
+            if use_pallas_gather == "auto":
+                use_pallas_gather = self._pallas_gather_auto()
             if use_pallas_gather:
-                assert self.docs_flat is None or self.docs_flat.dtype == jnp.float32, (
-                    "pallas gather is full-precision only: a bf16 corpus would "
-                    "be upcast to a second full f32 copy on every rerank batch "
-                    "(pass dense_dtype=None / --dense-dtype f32)"
+                assert self.docs_flat.dtype in (jnp.float32, jnp.bfloat16), (
+                    f"pallas gather reads f32/bf16 corpora, got "
+                    f"{self.docs_flat.dtype}"
                 )
                 if e % 128 == 0:  # kernel needs lane-aligned field segments
                     from mfar_tpu.ops.pallas_kernels import make_row_dma_view
@@ -376,6 +389,59 @@ class RetrievalEngine:
         self._sparse_inv_map: Dict[str, np.ndarray] = {}  # corpus row -> BM25 row
 
     # ------------------------------------------------------------------
+
+    # Auto-gate runtime reserve: HBM the rerank programs need BESIDES the
+    # two corpus copies and the streamed score tile -- PartialReduce carry
+    # state, query/candidate arrays, XLA runtime buffers.  Calibrated on
+    # hardware (round 5): N=1M bf16 (2 x 7.68 GB + 0.67 GB tile, ~0.75 GB
+    # slack on a 16 GiB v5e) OOMs in the recall scan, so the reserve must
+    # exceed that slack.
+    PALLAS_GATHER_RESERVE_BYTES = 2 << 30
+
+    def _pallas_gather_auto(self) -> bool:
+        """Resolve use_pallas_gather="auto": enable the DMA-gather rerank
+        kernel (measured 26.2-30.7 ms vs XLA's 43.6-49.4 at N=131K B=256
+        C=128, rounds 4-5) iff this engine is DEDICATED to rerank serving
+        and the extra row/pair-DMA corpus copy fits the cost model:
+
+            2 x corpus + score tile (TOPK_SCORE_TILE_BYTES) + reserve <= HBM
+
+        Callers reach here only with a single-chip HBM-resident f32/bf16
+        corpus (mesh / host-corpus / int8 configs resolved to False
+        upstream).  Additional conditions:
+
+        - ``mode == "rerank"``: exact-mode serving never touches the
+          rowview; an engine that merely *can* rerank must not carry a 2x
+          corpus for the occasional compat call.
+        - a real TPU backend: off-TPU the kernel runs in interpret mode --
+          a correctness tool, orders of magnitude slower than the XLA
+          gather it would replace.
+        - lane-aligned fields (emb_dim % 128) -- the kernel's requirement.
+        """
+        if self.mode != "rerank":
+            return False
+        if jax.default_backend() != "tpu":
+            return False
+        if self.emb_dim is None or self.emb_dim % 128 != 0:
+            return False
+        from mfar_tpu.utils.device import device_hbm_bytes
+
+        corpus_bytes = self.docs_flat.size * self.docs_flat.dtype.itemsize
+        need = (
+            2 * corpus_bytes
+            + TOPK_SCORE_TILE_BYTES
+            + self.PALLAS_GATHER_RESERVE_BYTES
+        )
+        hbm = device_hbm_bytes()
+        if need > hbm:
+            print(
+                f"[retrieval] pallas rerank gather auto-OFF: 2 x "
+                f"{corpus_bytes / 2**30:.1f} GiB corpus + scan workspace "
+                f"needs {need / 2**30:.1f} GiB > {hbm / 2**30:.1f} GiB HBM "
+                f"(force with --use-pallas-gather on)"
+            )
+            return False
+        return True
 
     def _map_postings(self, fk: str, ids: np.ndarray, vals: np.ndarray):
         """BM25-row postings -> corpus-row postings (docs outside the corpus
@@ -1213,9 +1279,11 @@ class RetrievalEngine:
                     query_axis=self._qaxis(q.shape[0]),
                 )
             elif self.docs_rows is not None:
-                from mfar_tpu.ops.pallas_kernels import gather_per_field_scores_pallas
+                from mfar_tpu.ops.pallas_kernels import (
+                    gather_per_field_scores_pallas_jit,
+                )
 
-                dense_scores = gather_per_field_scores_pallas(
+                dense_scores = gather_per_field_scores_pallas_jit(
                     q.astype(jnp.float32), self.docs_rows, cand_j.astype(jnp.int32), fd,
                     interpret=jax.default_backend() != "tpu",
                     cross_row_prefetch=self.pallas_cross_row,
