@@ -5,6 +5,7 @@ Contriever-base encoder (12L/768), 5 dense fields at the mag token budgets
 rbg PRNG, attention dropout 0.  Usage:
 
     python benchmarks/exp_train_step.py [full|dots|attn_out|bf16sm] [nodonate] [bN]
+    python benchmarks/exp_train_step.py dist-bucketed|dist-onshape [bN]
 
 arg 1 picks the remat policy (or bf16 softmax with full remat); `nodonate`
 disables state donation for an A/B; `bN` (e.g. ``b48``) overrides the batch
@@ -13,6 +14,18 @@ parity posture; larger B amortizes the fixed per-step work and raises MFU
 on a dedicated chip). Steps run back-to-back with
 device-resident losses; one scalar fetch ends the timed region (relay-safe
 single-fetch timing).
+
+The ``dist-*`` modes are the padding A/B (VERDICT round-4 item 5): 8
+distinct batches whose per-sequence REAL lengths follow the documented
+STaRK-like distribution (mfar_tpu.data.synth.stark_like_token_lengths),
+masks at the real lengths either way.  ``dist-bucketed`` pads each token
+group the way the shipped collation does -- smallest power-of-two bucket
+>= the batch max (models/tokenizer.py::pad_to_bucket), each distinct width
+combo compiling its own program; ``dist-onshape`` pads every group to its
+full schema budget -- ONE compiled program.  Reports warm ms/step over the
+batch set, padding %, distinct compiled shape combos, and useful
+(real-token) throughput; the bucketed/onshape ratio is the win the bucketed
+collation actually buys on this distribution.
 """
 
 import sys
@@ -39,7 +52,9 @@ def main():
     from mfar_tpu.train.train_step import init_state, make_train_step
 
     B = 24
-    known = ("full", "dots", "attn_out", "bf16sm", "nodonate")
+    known = ("full", "dots", "attn_out", "bf16sm", "nodonate",
+             "dist-bucketed", "dist-onshape")
+    dist_mode = None
     for a in sys.argv[1:]:
         if a.startswith("b") and a[1:].isdigit():
             B = int(a[1:])
@@ -50,6 +65,8 @@ def main():
                 f"unrecognized argument {a!r} (expected one of {known} "
                 f"or a batch override like 'b48')"
             )
+        elif a.startswith("dist-"):
+            dist_mode = a.removeprefix("dist-")
     budgets = {"title_dense": 512, "abstract_dense": 512, "cites_dense": 512,
                "topic_dense": 64, "affil_dense": 64}
     config = EncoderConfig(
@@ -85,6 +102,10 @@ def main():
     step_fn = jax.jit(make_train_step(model, opt),
                       donate_argnums=(0,) if donate else ())
 
+    if dist_mode:
+        run_dist(step_fn, state, B, budgets, bucketed=dist_mode == "bucketed")
+        return
+
     t0 = time.perf_counter()
     state, metrics = step_fn(state, batch)
     jax.block_until_ready(metrics["loss"])
@@ -100,6 +121,75 @@ def main():
     dt = (time.perf_counter() - t0) / steps
     print(f"donate={donate}: {dt*1000:.0f} ms/step (loss {lv:.3f}, "
           f"{B/dt:.1f} ex/s)", flush=True)
+
+
+def run_dist(step_fn, state, B, budgets, bucketed: bool):
+    """The padding A/B: 8 STaRK-like-length batches, bucketed vs one-shape
+    widths.  Donation is per-program in XLA, so the bucketed variant's many
+    programs all donate the SAME state buffers safely (each step consumes
+    the previous step's output state)."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from mfar_tpu.data.synth import stark_like_token_lengths
+    from mfar_tpu.models.tokenizer import pad_to_bucket
+
+    n_batches = 8
+    rng = np.random.default_rng(7)
+    real_tok = total_tok = 0
+    shapes = set()
+
+    def toks(n, budget):
+        nonlocal real_tok, total_tok
+        lens = stark_like_token_lengths(budget, n, rng)
+        width = pad_to_bucket(int(lens.max()), budget) if bucketed else budget
+        ids = rng.integers(1000, 30000, size=(n, width)).astype(np.int32)
+        mask = (np.arange(width)[None, :] < lens[:, None]).astype(np.int32)
+        ids *= mask
+        real_tok += int(lens.sum())
+        total_tok += n * width
+        return {"input_ids": jnp.asarray(ids), "attention_mask": jnp.asarray(mask)}
+
+    batches = []
+    for _ in range(n_batches):
+        batch = {
+            "query": toks(B, 64),
+            "pos": {fk: toks(B, s) for fk, s in budgets.items()},
+            "neg": {fk: toks(B, s) for fk, s in budgets.items()},
+            "sparse_pos": jnp.asarray(rng.normal(size=(B, B, 1)), jnp.float32),
+            "sparse_neg": jnp.asarray(rng.normal(size=(B, B, 1)), jnp.float32),
+        }
+        shapes.add(tuple(
+            g["input_ids"].shape[1]
+            for g in [batch["query"], *batch["pos"].values(), *batch["neg"].values()]
+        ))
+        batches.append(batch)
+
+    # Pass 1 compiles every distinct shape combo (off the clock), pass 2+3
+    # time warm steps; one scalar fetch ends each timed region.
+    t0 = time.perf_counter()
+    for batch in batches:
+        state, metrics = step_fn(state, batch)
+    float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(2):
+        for batch in batches:
+            state, metrics = step_fn(state, batch)
+    lv = float(metrics["loss"])
+    dt = (time.perf_counter() - t0) / (2 * n_batches)
+    print("dist_ab " + json.dumps({
+        "variant": "bucketed" if bucketed else "onshape",
+        "B": B,
+        "ms_per_step": round(dt * 1000, 1),
+        "useful_tokens_per_s": round(real_tok / n_batches / dt),
+        "padding_pct": round(100 * (1 - real_tok / total_tok), 1),
+        "distinct_shape_combos": len(shapes),
+        "compile_pass_s": round(compile_s, 1),
+        "loss": round(lv, 3),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -203,3 +203,35 @@ def write_dataset_dir(path: str, corpus: Corpus, n_train: int = 10, n_val: int =
             [r for r in qrels if r.query_id in ids_set],
         )
     return splits
+
+
+def stark_like_token_lengths(
+    budget: int, n: int, rng: np.random.Generator
+) -> np.ndarray:
+    """Sample ``n`` per-sequence REAL token lengths for a field whose schema
+    budget is ``budget``, shaped like the STaRK corpora the budgets were
+    derived from.
+
+    The reference sized each field's ``max_seq_length`` from per-field
+    token-length percentiles (scripts/corpus_stats.py; reference:
+    /root/reference/scripts/corpus_stats.py) -- budgets sit near the tail,
+    so real documents rarely fill them.  With the datasets unavailable
+    offline, this encodes that relationship as a DOCUMENTED ASSUMPTION
+    rather than a measurement: lengths are lognormal with
+
+    - long fields (budget >= 256, e.g. mag abstract/cites at 512):
+      median ~= 0.35 x budget, p95 ~= budget (sigma = ln(1/0.35)/1.645);
+    - short fields (budget < 256, e.g. title/topic at 64):
+      median ~= 0.2 x budget, p95 ~= 0.6 x budget (titles almost never
+      approach their cap);
+
+    clipped to [2, budget] (every sequence carries at least CLS+SEP, and
+    the tokenizer truncates at the budget).  Re-derive from real data with
+    scripts/corpus_stats.py when the corpora are reachable.
+    """
+    if budget >= 256:
+        median, sigma = 0.35 * budget, np.log(1 / 0.35) / 1.645
+    else:
+        median, sigma = 0.20 * budget, np.log(3.0) / 1.645
+    lens = rng.lognormal(mean=np.log(median), sigma=sigma, size=n)
+    return np.clip(np.round(lens).astype(np.int64), 2, budget)

@@ -203,6 +203,29 @@ def strip_meta(batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: v for k, v in batch.items() if k != "meta"}
 
 
+def token_stats(batch: Dict[str, Any]) -> Dict[str, int]:
+    """Real vs padded token counts of one collated batch (host numpy).
+
+    ``tokens_real`` sums the attention masks (the tokens the encoder
+    attends to); ``tokens_total`` is what the hardware actually computes
+    -- the padded [B, width] arrays the bucketed collation shipped.  The
+    gap is the padding waste the static-shape design pays: each batch pads
+    to the smallest power-of-two bucket >= its LONGEST sequence
+    (models/tokenizer.py::pad_to_bucket), so one long document drags the
+    whole batch to its bucket.  Cheap (mask sums on host arrays); the
+    trainer accumulates these per epoch and logs ``padding_pct``.
+    """
+    real = total = 0
+    groups: List[Dict[str, np.ndarray]] = [batch["query"]]
+    for side in ("pos", "neg"):
+        groups.extend((batch.get(side) or {}).values())
+    for toks in groups:
+        m = toks["attention_mask"]
+        real += int(np.asarray(m).sum())
+        total += int(np.asarray(m).size)
+    return {"tokens_real": real, "tokens_total": total}
+
+
 def prefetch(iterator: Iterator, depth: int = 2) -> Iterator:
     """Background-thread prefetch: host batch assembly (tokenization, BM25
     negatives, sparse score tensors) overlaps device compute of the current

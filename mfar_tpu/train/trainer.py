@@ -44,7 +44,12 @@ from mfar_tpu.data.types import Corpus, Field
 from mfar_tpu.eval.index_build import build_dense_corpus_matrix
 from mfar_tpu.eval.retrieval import RetrievalEngine
 from mfar_tpu.train.checkpoint import CheckpointManager
-from mfar_tpu.train.data_pipeline import ContrastiveDataset, prefetch, strip_meta
+from mfar_tpu.train.data_pipeline import (
+    ContrastiveDataset,
+    prefetch,
+    strip_meta,
+    token_stats,
+)
 from mfar_tpu.train.train_step import TrainState, make_eval_loss_step, make_train_step
 from mfar_tpu.utils.logging import MetricsLogger
 from mfar_tpu.utils.timing import Timer
@@ -130,6 +135,7 @@ class Trainer:
         self.train_step = jax.jit(make_train_step(model, optimizer), donate_argnums=(0,))
         self.eval_step = jax.jit(make_eval_loss_step(model))
         self.best_score = 0.0
+        self._last_epoch_padding_pct = 0.0
         self.mask: Optional[np.ndarray] = None
         self.masked_fields_string = ""
         self._jit_encode = None
@@ -287,6 +293,7 @@ class Trainer:
         round-trip)."""
         losses = []
         val_losses = []
+        tokens_real = tokens_total = 0
         n = self.train_dataset.num_batches(self.cfg.train_batch_size)
         if self.cfg.run_one_iteration:
             n = min(n, 1)
@@ -297,7 +304,13 @@ class Trainer:
         for i, batch in enumerate(prefetch(it, depth=self.cfg.prefetch_depth)):
             if i >= n:
                 break
-            batch = self._place_batch(strip_meta(batch))
+            batch = strip_meta(batch)
+            # Padding accounting rides the host arrays BEFORE placement
+            # (mask sums; the device never sees this).
+            ts = token_stats(batch)
+            tokens_real += ts["tokens_real"]
+            tokens_total += ts["tokens_total"]
+            batch = self._place_batch(batch)
             with self.timer.phase("train_step"):
                 state, metrics = self.train_step(state, batch)
             losses.append(metrics["loss"])  # device scalar; fetched at epoch end
@@ -307,6 +320,9 @@ class Trainer:
         # dispatch only; the device drains here (one blocking fetch).
         with self.timer.phase("train_drain"):
             losses = [float(x) for x in losses]
+        self._last_epoch_padding_pct = (
+            100.0 * (1.0 - tokens_real / tokens_total) if tokens_total else 0.0
+        )
         return state, float(np.mean(losses)) if losses else 0.0, val_losses
 
     def validate_proxy(self, state: TrainState) -> float:
@@ -393,7 +409,13 @@ class Trainer:
         for epoch in range(start_epoch, cfg.max_epochs):
             state, train_loss, mid_val = self.train_epoch(state, epoch)
             valid_loss = self.validate_proxy(state)
-            metrics: Dict[str, float] = {"train_loss": train_loss, "valid_loss": valid_loss}
+            metrics: Dict[str, float] = {
+                "train_loss": train_loss,
+                "valid_loss": valid_loss,
+                # Padded fraction of this epoch's token arrays (the
+                # static-shape tax the bucketed collation could not avoid)
+                "padding_pct": round(self._last_epoch_padding_pct, 2),
+            }
             if mid_val:
                 # dev_by_iter mid-epoch proxy validations (logged; early
                 # stop and checkpoint selection stay epoch-end)

@@ -141,3 +141,13 @@ def test_main_headline_failure_still_emits(monkeypatch, capsys):
     rec = json.loads(lines[0])
     assert rec["extra"]["status"] == "headline-failed"
     assert "relay died" in rec["extra"]["error"]
+
+
+def test_train_step_dist_section():
+    """STaRK-like-lengths train section: runs tiny on CPU, stats populated
+    and internally consistent (useful <= computed FLOPs, padding in (0,1))."""
+    stats = {}
+    ms = bench.train_step_dist(stats, b=4, num_layers=1, hidden=64)
+    assert ms > 0
+    assert 0 < stats["padding_pct"] < 100
+    assert 0 < stats["useful_flops"] < stats["computed_flops"]

@@ -93,3 +93,42 @@ def test_sparse_cache_empty_query_rows_survive_roundtrip(tmp_path):
     out = load_field_scores(str(tmp_path), "f")
     assert out[7] == {}
     assert out[1] == {2: 0.5, 3: 1.25}
+
+
+def test_token_stats_counts_mask_and_size():
+    import numpy as np
+
+    from mfar_tpu.train.data_pipeline import token_stats
+
+    def toks(mask_rows):
+        m = np.asarray(mask_rows, np.int32)
+        return {"input_ids": np.ones_like(m), "attention_mask": m}
+
+    batch = {
+        "query": toks([[1, 1, 0, 0], [1, 1, 1, 1]]),
+        "pos": {"f_dense": toks([[1, 0], [1, 1]])},
+        "neg": {},  # empty side must not crash
+        "meta": {"ignored": True},
+    }
+    s = token_stats(batch)
+    assert s == {"tokens_real": 6 + 3, "tokens_total": 8 + 4}
+
+
+def test_stark_like_token_lengths_shape():
+    """The documented distribution: clipped to [2, budget], long fields
+    median well under budget, short fields far under."""
+    import numpy as np
+
+    from mfar_tpu.data.synth import stark_like_token_lengths
+
+    rng = np.random.default_rng(0)
+    long = stark_like_token_lengths(512, 20000, rng)
+    short = stark_like_token_lengths(64, 20000, rng)
+    assert long.min() >= 2 and long.max() <= 512
+    assert short.min() >= 2 and short.max() <= 64
+    assert 0.25 * 512 < np.median(long) < 0.45 * 512
+    assert np.median(short) < 0.3 * 64
+    # reproducible given the generator state
+    r2 = np.random.default_rng(0)
+    assert (stark_like_token_lengths(512, 100, r2)
+            == stark_like_token_lengths(512, 100, np.random.default_rng(0))).all()
