@@ -23,8 +23,9 @@ measured on this host on slices and scaled -- see baseline_e2e_qps.
   frontend + pipelined MicroBatcher over the same engine) under a
   closed-loop soak -- what the batch numbers can't show;
 - engine_dense_rerank_qps: a DEDICATED rerank-mode dense engine (recall +
-  stage-2 candidate rerank, reference-compat semantics) at N=768K, where
-  the auto cost-model gate enables the Pallas DMA-gather stage 2;
+  stage-2 candidate rerank, reference-compat semantics) at N=512K -- the
+  largest power-of-two bf16 corpus whose pair view + scan workspace fit
+  the auto cost-model gate, which enables the Pallas DMA-gather stage 2;
 - topk_b512_qps: the fused op at B=512 with ids (the round-1 cliff);
 - train_step_ms: mag all_dense-shape step (contriever-base, B=24, remat,
   rbg, attention-dropout 0, bf16 softmax -- the recommended flags);
@@ -747,7 +748,11 @@ def main():
             assert eng.docs_rows is not None, "auto gate failed to fire"
             return engine_qps(eng, world, 256, "rerank")
 
-        section("engine_dense_rerank_qps", _rerank_qps)
+        # ``always``: like the train sections, this is a round-5 headline
+        # claim (the auto-gated Pallas rerank default) that a slow-relay
+        # run must not silently drop; bounded at ~2-3 min (one engine
+        # build + compile + one timed loop).
+        section("engine_dense_rerank_qps", _rerank_qps, always=True)
         section("train_step_ms", train_step_ms, always=True)
         if extra.get("train_step_ms"):
             # Single-chip training MFU: analytic model FLOPs over measured
