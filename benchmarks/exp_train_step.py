@@ -136,7 +136,14 @@ def run_dist(step_fn, state, B, budgets, bucketed: bool):
     from mfar_tpu.data.synth import stark_like_token_lengths
     from mfar_tpu.models.tokenizer import pad_to_bucket
 
-    n_batches = 8
+    import os
+
+    # Each DISTINCT bucket combo is a fresh train-step program (~200 s
+    # remote compile on this relay, cached persistently thereafter).  Bound
+    # a single process's fresh-compile exposure by growing the batch count
+    # across runs: MFAR_DIST_BATCHES=4 first (1-2 fresh combos), then 8
+    # (the rest) -- each run inside its timeout, never killed mid-compile.
+    n_batches = int(os.environ.get("MFAR_DIST_BATCHES", "8"))
     rng = np.random.default_rng(7)
     real_tok = total_tok = 0
     shapes = set()
