@@ -48,6 +48,20 @@ crashed (rc=1) instead of reporting.  Each section is independently
 try/except'd and the headline itself is guarded: the one JSON line always
 prints.
 
+Phase isolation (round 5): the top-level invocation is an ORCHESTRATOR
+that does no device work itself; it runs the probe, then each phase as a
+sequential SUBPROCESS (one TPU config per process, per the relay rules)
+and merges their extras into the one JSON line.  The "main" phase carries
+the headline + the engine/op/daemon sections; the HBM-hungry sections --
+the N=512K rerank engine (~12.9 GiB with two corpus views) and the two
+train steps (~15.75 of 16 GiB) -- each get a FRESH process and therefore
+fresh HBM.  Round 5's first full run proved this necessary: in one shared
+process, residual device allocations from ten prior engine sections (jit
+caches, encoder executables, allocator fragmentation) OOM'd exactly those
+three sections even though each fits comfortably alone.  Each child is
+bounded by its own timeout (MFAR_BENCH_MAIN_TIMEOUT / MFAR_BENCH_PHASE_
+TIMEOUT) so a mid-run relay wedge cannot hang past the driver's clock.
+
 Baseline: the reference's own retrieval algorithm (torch CPU matmul + topk)
 measured on this host over a corpus slice and scaled linearly in N.
 
@@ -604,34 +618,28 @@ def emit(qps, base, extra, status="ok", metric="dense_engine_e2e_qps",
     )
 
 
-def main():
-    extra = {}
+def _peak_flops() -> float:
+    """Chip peak for MFU math.  TPU v5e (this rig: 'TPU v5 lite') peaks at
+    197 bf16 TFLOP/s; override for other chips."""
+    return float(os.environ.get("MFAR_TPU_PEAK_TFLOPS", "197")) * 1e12
 
-    probe_timeout = float(os.environ.get("MFAR_BENCH_PROBE_TIMEOUT", "300"))
-    ok, info = backend_probe(probe_timeout)
-    print(f"[bench] backend probe: ok={ok} ({info})", file=sys.stderr, flush=True)
-    if not ok:
-        emit(0.0, 0.0, {"probe": info}, status="backend-unavailable")
-        return 0
+
+def run_phase_main() -> dict:
+    """The headline + every section that shares the 1M-doc corpus (one
+    process).  Returns the emit-args dict; never raises."""
+    extra = {}
     # Extras stop starting once the budget is spent (a cold compile cache or
     # slow tunnel must not push the run past the driver's timeout -- the
     # headline JSON line must always print).  The clock starts AFTER the
-    # headline completes: probe + backend init on this relay cost ~5 min on
-    # their own (round-4 lesson: counting them starved every engine section
-    # to "SKIPPED (budget)"), and they are environment costs, not
-    # measurement costs.  Worst-case total stays bounded: probe + init +
-    # headline + budget + one train-step section.
+    # headline completes: backend init on this relay costs minutes on its
+    # own (round-4 lesson: counting it starved every engine section to
+    # "SKIPPED (budget)"), and it is an environment cost, not a
+    # measurement cost.
     budget = float(os.environ.get("MFAR_BENCH_BUDGET", "900"))
     start = None  # set when extras start (below)
 
-    def section(name, fn, always=False):
-        # ``always``: exempt from the budget gate -- train_step_ms must run
-        # last (the step wants ~15.75 of 16 GB HBM, so the 7.4 GB corpus is
-        # freed first) yet is a headline training claim; the gate would
-        # silently drop exactly that number whenever the engine sections ran
-        # long.  Worst-case runtime stays bounded: budget + one train-step
-        # section (~3 min).
-        if not always and time.perf_counter() - start > budget:
+    def section(name, fn):
+        if time.perf_counter() - start > budget:
             print(f"[bench] {name} SKIPPED (budget)", file=sys.stderr, flush=True)
             return
         try:
@@ -644,15 +652,12 @@ def main():
             print(f"[bench] {name} FAILED: {e}", file=sys.stderr, flush=True)
 
     try:
-        from mfar_tpu.utils.compile_cache import enable as _enable_compile_cache
-
-        _enable_compile_cache()
         docs = make_docs()
         op = op_qps(docs, B, Q)
         op_base = baseline_qps()
     except Exception as e:  # noqa: BLE001 -- a dead relay mid-run must still emit
-        emit(0.0, 0.0, {"error": f"{type(e).__name__}: {e}"[:500]}, status="headline-failed")
-        return 0
+        return dict(qps=0.0, base=0.0, status="headline-failed",
+                    extra={"error": f"{type(e).__name__}: {e}"[:500]})
     extra["op_topk_qps"] = round(op, 2)
     extra["op_vs_baseline"] = round(op / op_base, 2) if op_base else 0.0
 
@@ -673,11 +678,11 @@ def main():
         extra["engine_dense_exact_qps"] = round(qps, 2)
     except Exception as e:  # noqa: BLE001
         extra["engine_error"] = f"{type(e).__name__}: {e}"[:500]
-        emit(op, op_base, extra, status="engine-headline-failed",
-             metric="fused_multifield_topk_qps",
-             unit="queries/s/chip, op only (engine e2e failed -- see extra."
-                  "engine_error; N=1M docs, F=5, E=768, k=100, bf16, B=256)")
-        return 0
+        return dict(
+            qps=op, base=op_base, extra=extra, status="engine-headline-failed",
+            metric="fused_multifield_topk_qps",
+            unit="queries/s/chip, op only (engine e2e failed -- see extra."
+                 "engine_error; N=1M docs, F=5, E=768, k=100, bf16, B=256)")
     try:
         base = baseline_e2e_qps(op_base)
         extra["baseline_e2e_qps"] = round(base, 2)
@@ -724,68 +729,168 @@ def main():
         section("engine_hybrid_exact_b256_qps",
                 lambda: engine_qps(get_hybrid(), world, 256, "exact"))
         section("index_build_docs_per_s", lambda: index_build_docs_per_s(world))
-        hybrid_engine.clear()
-        del docs
 
-        # DEDICATED rerank-mode dense engine: the auto cost-model gate
-        # (eval/retrieval.py::_pallas_gather_auto) enables the Pallas
-        # DMA-gather stage 2 -- the default a `retrieve --mode rerank` CLI
-        # user gets.  Runs at N=512K, the largest power-of-two bf16 corpus
-        # whose PAIR view + scan workspace fit the gate's memory model
-        # within the ~12.9 GiB the default XLA client fraction (0.75) lets
-        # us allocate of the 16 GiB chip (measured round 5; N=1M and 768K
-        # both OOM'd the recall scan with two copies resident); needs the
-        # 1M corpus freed first.
-        def _rerank_qps():
-            import jax
-            import jax.numpy as jnp
+    return dict(qps=qps, base=base, extra=extra, status="ok")
 
-            n_rr = 524_288
-            docs_rr = jax.random.normal(
-                jax.random.PRNGKey(0), (n_rr, F * E), jnp.bfloat16
-            )
-            eng = make_engine(docs_rr, world, False, mode="rerank", n=n_rr)
-            assert eng.docs_rows is not None, "auto gate failed to fire"
-            return engine_qps(eng, world, 256, "rerank")
 
-        # ``always``: like the train sections, this is a round-5 headline
-        # claim (the auto-gated Pallas rerank default) that a slow-relay
-        # run must not silently drop; bounded at ~2-3 min (one engine
-        # build + compile + one timed loop).
-        section("engine_dense_rerank_qps", _rerank_qps, always=True)
-        section("train_step_ms", train_step_ms, always=True)
-        if extra.get("train_step_ms"):
-            # Single-chip training MFU: analytic model FLOPs over measured
-            # step time vs peak.  TPU v5e (this rig: 'TPU v5 lite') peaks at
-            # 197 bf16 TFLOP/s; override for other chips.
-            peak = float(os.environ.get("MFAR_TPU_PEAK_TFLOPS", "197")) * 1e12
-            extra["train_mfu_pct"] = round(
-                train_model_flops_per_step()
-                / (extra["train_step_ms"] / 1e3) / peak * 100, 1,
-            )
-        # STaRK-like-lengths step at the shipped bucketed collation widths:
-        # padding tax + effective-token MFU (VERDICT round-4 item 5).  Runs
-        # ``always`` like train_step_ms -- it is the train headline's
-        # honesty check and must reach the driver artifact; cost is one
-        # extra compile + 4 steps at SMALLER widths than train_step_ms.
-        dist_stats: dict = {}
-        section("train_step_dist_ms", lambda: train_step_dist(dist_stats),
-                always=True)
-        if extra.get("train_step_dist_ms"):
-            peak = float(os.environ.get("MFAR_TPU_PEAK_TFLOPS", "197")) * 1e12
-            extra["train_padding_pct"] = dist_stats["padding_pct"]
-            extra["train_effective_mfu_pct"] = round(
-                dist_stats["useful_flops"]
-                / (extra["train_step_dist_ms"] / 1e3) / peak * 100, 1,
-            )
-            # What the step WOULD score if padded tokens counted as useful
-            # (the computed-FLOPs twin of train_mfu_pct at these widths)
-            extra["train_dist_computed_mfu_pct"] = round(
-                dist_stats["computed_flops"]
-                / (extra["train_step_dist_ms"] / 1e3) / peak * 100, 1,
-            )
+def run_phase_rerank() -> dict:
+    """DEDICATED rerank-mode dense engine: the auto cost-model gate
+    (eval/retrieval.py::_pallas_gather_auto) enables the Pallas DMA-gather
+    stage 2 -- the default a `retrieve --mode rerank` CLI user gets.  Runs
+    at N=512K, the largest power-of-two bf16 corpus whose PAIR view + scan
+    workspace fit the gate's memory model within the ~12.9 GiB the default
+    XLA client fraction (0.75) lets us allocate of the 16 GiB chip
+    (measured round 5; N=1M and 768K both OOM'd the recall scan with two
+    copies resident) -- which is why this phase needs a FRESH process.
+    Match: the reference's stage-2 gather
+    (/root/reference/mfar/data/index.py:227-232)."""
+    import jax
+    import jax.numpy as jnp
 
-    emit(qps, base, extra)
+    world = engine_world(None)
+    n_rr = 524_288
+    docs_rr = jax.random.normal(
+        jax.random.PRNGKey(0), (n_rr, F * E), jnp.bfloat16
+    )
+    eng = make_engine(docs_rr, world, False, mode="rerank", n=n_rr)
+    assert eng.docs_rows is not None, "auto gate failed to fire"
+    return {"engine_dense_rerank_qps": round(engine_qps(eng, world, 256, "rerank"), 2)}
+
+
+def run_phase_train() -> dict:
+    """mag all_dense-shape train step (wants ~15.75 of 16 GiB HBM -- fresh
+    process) + single-chip training MFU (analytic model FLOPs over measured
+    step time vs peak)."""
+    out = {"train_step_ms": round(train_step_ms(), 2)}
+    out["train_mfu_pct"] = round(
+        train_model_flops_per_step() / (out["train_step_ms"] / 1e3)
+        / _peak_flops() * 100, 1,
+    )
+    return out
+
+
+def run_phase_dist() -> dict:
+    """STaRK-like-lengths step at the shipped bucketed collation widths:
+    padding tax + effective-token MFU (VERDICT round-4 item 5) -- the train
+    headline's honesty check."""
+    dist_stats: dict = {}
+    out = {"train_step_dist_ms": round(train_step_dist(dist_stats), 2)}
+    peak = _peak_flops()
+    out["train_padding_pct"] = dist_stats["padding_pct"]
+    out["train_effective_mfu_pct"] = round(
+        dist_stats["useful_flops"] / (out["train_step_dist_ms"] / 1e3)
+        / peak * 100, 1,
+    )
+    # What the step WOULD score if padded tokens counted as useful
+    # (the computed-FLOPs twin of train_mfu_pct at these widths)
+    out["train_dist_computed_mfu_pct"] = round(
+        dist_stats["computed_flops"] / (out["train_step_dist_ms"] / 1e3)
+        / peak * 100, 1,
+    )
+    return out
+
+
+PHASE_FNS = {
+    "main": run_phase_main,
+    "rerank": run_phase_rerank,
+    "train": run_phase_train,
+    "dist": run_phase_dist,
+}
+
+_PHASE_SENTINEL = "PHASE_RESULT "
+
+
+def child_main(phase: str) -> int:
+    """Run ONE phase in this process and hand the result dict to the
+    orchestrator via a sentinel stdout line.  Always exits 0 with a
+    parseable line; section prints go to stderr (inherited, so the driver
+    log keeps them)."""
+    try:
+        from mfar_tpu.utils.compile_cache import enable as _enable_compile_cache
+
+        _enable_compile_cache()
+        result = PHASE_FNS[phase]()
+    except Exception as e:  # noqa: BLE001 -- the parent records the failure
+        result = {"phase_error": f"{type(e).__name__}: {e}"[:500]}
+    print(_PHASE_SENTINEL + json.dumps(result), flush=True)
+    return 0
+
+
+def run_child(phase: str, timeout_s: float) -> dict:
+    """Spawn ``bench.py`` on one phase (fresh process = fresh HBM, one TPU
+    config per process) and parse its sentinel line."""
+    if os.environ.get("MFAR_BENCH_INPROCESS"):
+        # Test hook: run the phase in THIS process so monkeypatched
+        # constants/functions apply and CPU-sized shapes stay tiny.  The
+        # production path must stay out-of-process (fresh HBM per phase).
+        try:
+            return PHASE_FNS[phase]()
+        except Exception as e:  # noqa: BLE001 -- mirrors child_main
+            return {"phase_error": f"{type(e).__name__}: {e}"[:500]}
+    env = dict(os.environ, MFAR_BENCH_PHASE=phase)
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"phase_error": f"phase {phase} timed out after {timeout_s:.0f}s"}
+    except Exception as e:  # noqa: BLE001
+        return {"phase_error": f"phase {phase} failed to launch: {e}"}
+    for line in reversed((r.stdout or "").splitlines()):
+        if line.startswith(_PHASE_SENTINEL):
+            try:
+                return json.loads(line[len(_PHASE_SENTINEL):])
+            except json.JSONDecodeError:
+                break
+    return {"phase_error": f"phase {phase} produced no result (rc={r.returncode})"}
+
+
+def main():
+    phase = os.environ.get("MFAR_BENCH_PHASE")
+    if phase:
+        return child_main(phase)
+
+    # Orchestrator: no device work in THIS process -- probe, then run each
+    # phase as a sequential subprocess and merge the extras.
+    probe_timeout = float(os.environ.get("MFAR_BENCH_PROBE_TIMEOUT", "300"))
+    ok, info = backend_probe(probe_timeout)
+    print(f"[bench] backend probe: ok={ok} ({info})", file=sys.stderr, flush=True)
+    if not ok:
+        emit(0.0, 0.0, {"probe": info}, status="backend-unavailable")
+        return 0
+
+    main_res = run_child(
+        "main", float(os.environ.get("MFAR_BENCH_MAIN_TIMEOUT", "1800")))
+    if "phase_error" in main_res:
+        emit(0.0, 0.0, {"error": main_res["phase_error"]}, status="headline-failed")
+        return 0
+    extra = main_res.get("extra", {})
+    status = main_res.get("status", "ok")
+
+    if status == "ok" and not os.environ.get("MFAR_BENCH_FAST"):
+        phase_timeout = float(os.environ.get("MFAR_BENCH_PHASE_TIMEOUT", "600"))
+        for ph, headline_key in (
+            ("rerank", "engine_dense_rerank_qps"),
+            ("train", "train_step_ms"),
+            ("dist", "train_step_dist_ms"),
+        ):
+            t0 = time.perf_counter()
+            res = run_child(ph, phase_timeout)
+            if "phase_error" in res:
+                extra[headline_key] = None
+                print(f"[bench] {headline_key} FAILED: {res['phase_error']}",
+                      file=sys.stderr, flush=True)
+                continue
+            extra.update(res)
+            print(f"[bench] {headline_key}={res.get(headline_key)} "
+                  f"({time.perf_counter()-t0:.0f}s, own process)",
+                  file=sys.stderr, flush=True)
+
+    emit(main_res.get("qps", 0.0), main_res.get("base", 0.0), extra,
+         status=status, metric=main_res.get("metric", "dense_engine_e2e_qps"),
+         unit=main_res.get("unit"))
+    return 0
 
 
 if __name__ == "__main__":

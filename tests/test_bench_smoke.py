@@ -16,6 +16,9 @@ def tiny_bench(monkeypatch):
     monkeypatch.setattr(bench, "B", 8)
     monkeypatch.setattr(bench, "Q", 2)
     monkeypatch.setattr(bench, "N_BASE", 512)
+    # Phases run in-process here so the patches above apply; the production
+    # orchestrator spawns each phase as its own process (fresh HBM).
+    monkeypatch.setenv("MFAR_BENCH_INPROCESS", "1")
 
 
 def test_op_and_baseline():
@@ -141,6 +144,48 @@ def test_main_headline_failure_still_emits(monkeypatch, capsys):
     rec = json.loads(lines[0])
     assert rec["extra"]["status"] == "headline-failed"
     assert "relay died" in rec["extra"]["error"]
+
+
+def test_phase_child_protocol_bad_phase(monkeypatch):
+    """The REAL subprocess protocol: an unknown phase still exits 0 with a
+    parseable sentinel line carrying phase_error (the orchestrator's
+    contract: a wedged/broken child never kills the one JSON line)."""
+    monkeypatch.delenv("MFAR_BENCH_INPROCESS", raising=False)
+    res = bench.run_child("no-such-phase", timeout_s=300.0)
+    assert "phase_error" in res
+    assert "KeyError" in res["phase_error"]
+
+
+def test_main_merges_isolated_phases(monkeypatch, capsys):
+    """The orchestrator merges per-phase extras into the one JSON line and
+    records a failed phase as a null headline key instead of dying."""
+    monkeypatch.delenv("MFAR_BENCH_FAST", raising=False)
+    monkeypatch.setattr(bench, "backend_probe", lambda t: (True, "patched"))
+    monkeypatch.setattr(
+        bench, "run_phase_main",
+        lambda: dict(qps=100.0, base=10.0, status="ok",
+                     extra={"engine_dense_exact_qps": 100.0}))
+    monkeypatch.setitem(bench.PHASE_FNS, "main", bench.run_phase_main)
+    monkeypatch.setitem(
+        bench.PHASE_FNS, "rerank",
+        lambda: {"engine_dense_rerank_qps": 42.0})
+    monkeypatch.setitem(
+        bench.PHASE_FNS, "train",
+        lambda: (_ for _ in ()).throw(RuntimeError("phase OOM")))
+    monkeypatch.setitem(
+        bench.PHASE_FNS, "dist",
+        lambda: {"train_step_dist_ms": 5.0, "train_padding_pct": 50.0})
+    assert bench.main() == 0
+    lines = [l for l in capsys.readouterr().out.strip().splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])
+    assert rec["value"] == 100.0
+    assert rec["vs_baseline"] == 10.0
+    assert rec["extra"]["engine_dense_rerank_qps"] == 42.0
+    assert rec["extra"]["train_step_ms"] is None  # failed phase -> null key
+    assert rec["extra"]["train_step_dist_ms"] == 5.0
+    assert rec["extra"]["status"] == "ok"
 
 
 def test_train_step_dist_section():
