@@ -188,6 +188,39 @@ def test_main_merges_isolated_phases(monkeypatch, capsys):
     assert rec["extra"]["status"] == "ok"
 
 
+def test_main_retries_timed_out_phase(monkeypatch, capsys):
+    """A phase that times out retries exactly once (the compile cache makes
+    the retry resume further along); hard failures don't retry."""
+    monkeypatch.delenv("MFAR_BENCH_FAST", raising=False)
+    monkeypatch.setattr(bench, "backend_probe", lambda t: (True, "patched"))
+    monkeypatch.setattr(
+        bench, "run_phase_main",
+        lambda: dict(qps=100.0, base=10.0, status="ok", extra={}))
+    monkeypatch.setitem(bench.PHASE_FNS, "main", bench.run_phase_main)
+    calls = {"train": 0, "rerank": 0}
+
+    def flaky_train():
+        calls["train"] += 1
+        if calls["train"] == 1:
+            raise RuntimeError("simulated: phase train timed out after 600s")
+        return {"train_step_ms": 7.0}
+
+    def hard_fail_rerank():
+        calls["rerank"] += 1
+        raise RuntimeError("RESOURCE_EXHAUSTED")
+
+    monkeypatch.setitem(bench.PHASE_FNS, "train", flaky_train)
+    monkeypatch.setitem(bench.PHASE_FNS, "rerank", hard_fail_rerank)
+    monkeypatch.setitem(bench.PHASE_FNS, "dist", lambda: {"train_step_dist_ms": 5.0})
+    assert bench.main() == 0
+    rec = json.loads([l for l in capsys.readouterr().out.strip().splitlines()
+                      if l.startswith("{")][0])
+    assert calls["train"] == 2  # timed out once, retried, succeeded
+    assert calls["rerank"] == 1  # hard failure: no retry
+    assert rec["extra"]["train_step_ms"] == 7.0
+    assert rec["extra"]["engine_dense_rerank_qps"] is None
+
+
 def test_train_step_dist_section():
     """STaRK-like-lengths train section: runs tiny on CPU, stats populated
     and internally consistent (useful <= computed FLOPs, padding in (0,1))."""
