@@ -557,7 +557,8 @@ def index_build_docs_per_s(world, n_docs: int = 2048, enc_batch: int = 256) -> f
     return len(texts) / (time.perf_counter() - t0)
 
 
-def backend_probe(timeout_s: float) -> tuple[bool, str]:
+def backend_probe(timeout_s: float, attempts: int = 3,
+                  backoff_s: float = 20.0) -> tuple[bool, str]:
     """Run a tiny jitted matmul in a SUBPROCESS with a generous timeout.
 
     The TPU here sits behind a relay tunnel that can be wedged or gone
@@ -568,7 +569,26 @@ def backend_probe(timeout_s: float) -> tuple[bool, str]:
     complete one 128x128 matmul inside the timeout, report the backend
     unavailable and let main() emit a parseable status line instead of
     crashing.
+
+    Retries ``attempts`` times with ``backoff_s`` between: the relay also
+    throws TRANSIENT errors (measured: one FAILED_PRECONDITION probe
+    failure with the chip answering a matmul 60 s later) -- a single-shot
+    probe would turn one hiccup into a whole round of zeros.
     """
+    attempts = max(int(os.environ.get("MFAR_BENCH_PROBE_ATTEMPTS", attempts)), 1)
+    last = ""
+    for i in range(attempts):
+        if i:
+            time.sleep(backoff_s)
+            print(f"[bench] probe retry {i + 1}/{attempts} (last: {last[:120]})",
+                  file=sys.stderr, flush=True)
+        ok, last = _backend_probe_once(timeout_s)
+        if ok:
+            return True, last
+    return False, last
+
+
+def _backend_probe_once(timeout_s: float) -> tuple[bool, str]:
     # The child must re-assert the parent's platform via jax.config AFTER
     # importing jax: this rig's sitecustomize force-registers the TPU relay
     # backend at interpreter startup and the env var alone does not win.
@@ -860,8 +880,13 @@ def main():
         emit(0.0, 0.0, {"probe": info}, status="backend-unavailable")
         return 0
 
-    main_res = run_child(
-        "main", float(os.environ.get("MFAR_BENCH_MAIN_TIMEOUT", "1800")))
+    main_timeout = float(os.environ.get("MFAR_BENCH_MAIN_TIMEOUT", "1800"))
+    main_res = run_child("main", main_timeout)
+    main_err = main_res.get("phase_error", "")
+    if "timed out" in main_err or "produced no result" in main_err:
+        print(f"[bench] main phase failed pre-results ({main_err[:120]}) "
+              "-- retrying once", file=sys.stderr, flush=True)
+        main_res = run_child("main", main_timeout)
     if "phase_error" in main_res:
         emit(0.0, 0.0, {"error": main_res["phase_error"]}, status="headline-failed")
         return 0
@@ -884,13 +909,18 @@ def main():
                 os.environ.get("MFAR_BENCH_PHASE_TIMEOUT", str(default_timeout))))
             t0 = time.perf_counter()
             res = run_child(ph, timeout_s)
-            if "timed out" in res.get("phase_error", ""):
-                # One retry, timeouts only: the persistent compile cache
-                # keeps every program the killed attempt finished compiling,
-                # so the retry resumes further along instead of repeating
-                # the same overrun.  Hard failures (OOM etc.) don't retry.
-                print(f"[bench] phase {ph} timed out -- retrying once "
-                      "(compile cache resumes)", file=sys.stderr, flush=True)
+            err = res.get("phase_error", "")
+            if "timed out" in err or "produced no result" in err:
+                # One retry, for timeouts and pre-sentinel crashes only.
+                # Timeouts: the persistent compile cache keeps every program
+                # the killed attempt finished compiling, so the retry resumes
+                # further along instead of repeating the same overrun.
+                # No-sentinel crashes: the child died BEFORE its sections ran
+                # (backend init), which on this rig is a transient relay
+                # error more often than not.  Hard section failures (OOM
+                # etc.) come back rc=0 WITH a sentinel and don't retry.
+                print(f"[bench] phase {ph} failed pre-results ({err[:120]}) "
+                      "-- retrying once", file=sys.stderr, flush=True)
                 res = run_child(ph, timeout_s)
             if "phase_error" in res:
                 extra[headline_key] = None

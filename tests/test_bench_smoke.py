@@ -221,6 +221,58 @@ def test_main_retries_timed_out_phase(monkeypatch, capsys):
     assert rec["extra"]["engine_dense_rerank_qps"] is None
 
 
+def test_main_retries_crashed_phase_and_main(monkeypatch, capsys):
+    """Pre-sentinel crashes (child died at backend init: 'produced no
+    result') retry once, like timeouts; the main phase gets the same
+    treatment.  Measured trigger: one transient relay FAILED_PRECONDITION
+    with the chip answering a matmul 60 s later."""
+    monkeypatch.delenv("MFAR_BENCH_FAST", raising=False)
+    monkeypatch.setattr(bench, "backend_probe", lambda t: (True, "patched"))
+    calls = {"main": 0, "dist": 0}
+
+    def flaky_main():
+        calls["main"] += 1
+        if calls["main"] == 1:
+            raise RuntimeError("phase main produced no result (rc=1)")
+        return dict(qps=100.0, base=10.0, status="ok", extra={})
+
+    def flaky_dist():
+        calls["dist"] += 1
+        if calls["dist"] == 1:
+            raise RuntimeError("phase dist produced no result (rc=1)")
+        return {"train_step_dist_ms": 5.0}
+
+    monkeypatch.setitem(bench.PHASE_FNS, "main", flaky_main)
+    monkeypatch.setitem(bench.PHASE_FNS, "rerank",
+                        lambda: {"engine_dense_rerank_qps": 42.0})
+    monkeypatch.setitem(bench.PHASE_FNS, "train",
+                        lambda: {"train_step_ms": 7.0})
+    monkeypatch.setitem(bench.PHASE_FNS, "dist", flaky_dist)
+    assert bench.main() == 0
+    rec = json.loads([l for l in capsys.readouterr().out.strip().splitlines()
+                      if l.startswith("{")][0])
+    assert calls["main"] == 2 and calls["dist"] == 2
+    assert rec["value"] == 100.0
+    assert rec["extra"]["train_step_dist_ms"] == 5.0
+    assert rec["extra"]["status"] == "ok"
+
+
+def test_backend_probe_retries_transient(monkeypatch):
+    """The probe retries transient failures instead of zeroing the round."""
+    attempts = []
+
+    def flaky_once(timeout_s):
+        attempts.append(timeout_s)
+        if len(attempts) == 1:
+            return False, "FAILED_PRECONDITION: TPU backend error"
+        return True, "PROBE_OK 2097152.0 tpu"
+
+    monkeypatch.setattr(bench, "_backend_probe_once", flaky_once)
+    ok, info = bench.backend_probe(60.0, attempts=3, backoff_s=0.0)
+    assert ok and "PROBE_OK" in info
+    assert len(attempts) == 2
+
+
 def test_train_step_dist_section():
     """STaRK-like-lengths train section: runs tiny on CPU, stats populated
     and internally consistent (useful <= computed FLOPs, padding in (0,1))."""
